@@ -1,0 +1,194 @@
+"""The instant-ngp field: hash encoder + sigma MLP + SH/dir + color MLP.
+
+Parity: reference nerf/network.py (NeRFNetwork) —
+  - sigma net: hash encoding (16 levels x 2, desired_resolution=2048*bound)
+    -> `num_layers` (2) bias-free Linears, width 64, ReLU between; output
+    1 + geo_feat_dim (15); density = trunc_exp(out[..., 0]).
+  - color net: SH(dir, degree 4) (optionally zeroed by
+    disable_view_direction, network.py:122) concat geo_feat ->
+    `num_layers_color` (3) bias-free Linears width 64 -> sigmoid, out_dim
+    in {1, 3}.
+  - background net (bg_radius > 0): 2D hash encoding (4 levels,
+    desired_resolution=2048) of sphere polar coords concat SH(dir) ->
+    2-layer MLP -> sigmoid (network.py:79-101, 153-168).
+
+TPU design: a pure-functional module — parameters are a flat dict pytree;
+all apply functions are jit-friendly and batched over [N, .].  Matmuls are
+issued at the caller-chosen compute dtype (bf16 on TPU) with fp32
+accumulation via preferred_element_type; density activation stays fp32.
+No nn.Module state: `FieldStatic` carries only static hyperparameters and
+hash-grid metadata (hashable, usable as a jit static argument).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from enerf_tpu.ops.hashgrid import HashGridMeta, hash_encode, init_hash_table
+from enerf_tpu.ops.sh import sh_encode, sh_output_dim
+from enerf_tpu.ops.trunc_exp import trunc_exp
+
+
+class FieldStatic:
+    """Static field hyperparameters (jit-static, hashed by identity)."""
+
+    def __init__(
+        self,
+        bound=1.0,
+        num_layers=2,
+        hidden_dim=64,
+        geo_feat_dim=15,
+        num_layers_color=3,
+        hidden_dim_color=64,
+        sh_degree=4,
+        out_dim_color=3,
+        disable_view_direction=False,
+        bg_radius=-1.0,
+        num_layers_bg=2,
+        hidden_dim_bg=64,
+        num_levels=16,
+        level_dim=2,
+        base_resolution=16,
+        log2_hashmap_size=19,
+        gridtype="hash",
+        compute_dtype=jnp.float32,
+    ):
+        self.bound = float(bound)
+        self.num_layers = num_layers
+        self.hidden_dim = hidden_dim
+        self.geo_feat_dim = geo_feat_dim
+        self.num_layers_color = num_layers_color
+        self.hidden_dim_color = hidden_dim_color
+        self.sh_degree = sh_degree
+        self.out_dim_color = out_dim_color
+        self.disable_view_direction = disable_view_direction
+        self.bg_radius = float(bg_radius)
+        self.num_layers_bg = num_layers_bg
+        self.hidden_dim_bg = hidden_dim_bg
+        self.compute_dtype = compute_dtype
+
+        # reference network.py:36: desired_resolution = 2048 * bound
+        self.grid_meta = HashGridMeta(
+            input_dim=3,
+            num_levels=num_levels,
+            level_dim=level_dim,
+            base_resolution=base_resolution,
+            log2_hashmap_size=log2_hashmap_size,
+            desired_resolution=2048 * max(self.bound, 1.0),
+            gridtype=gridtype,
+        )
+        self.in_dim = self.grid_meta.output_dim
+        self.in_dim_dir = sh_output_dim(sh_degree)
+        if self.bg_radius > 0:
+            # reference network.py:83: much smaller 2D hashgrid
+            self.bg_grid_meta = HashGridMeta(
+                input_dim=2,
+                num_levels=4,
+                level_dim=level_dim,
+                base_resolution=base_resolution,
+                log2_hashmap_size=log2_hashmap_size,
+                desired_resolution=2048,
+                gridtype=gridtype,
+            )
+            self.in_dim_bg = self.bg_grid_meta.output_dim
+        else:
+            self.bg_grid_meta = None
+            self.in_dim_bg = 0
+
+    def mlp_dims(self, which):
+        """(in, out) per layer for 'sigma' | 'color' | 'bg' nets."""
+        if which == "sigma":
+            L, hid = self.num_layers, self.hidden_dim
+            first, last = self.in_dim, 1 + self.geo_feat_dim
+        elif which == "color":
+            L, hid = self.num_layers_color, self.hidden_dim_color
+            first, last = self.in_dim_dir + self.geo_feat_dim, self.out_dim_color
+        elif which == "bg":
+            L, hid = self.num_layers_bg, self.hidden_dim_bg
+            first, last = self.in_dim_bg + self.in_dim_dir, self.out_dim_color
+        else:
+            raise ValueError(which)
+        dims = []
+        for l in range(L):
+            i = first if l == 0 else hid
+            o = last if l == L - 1 else hid
+            dims.append((i, o))
+        return dims
+
+
+def _init_linear(key, in_dim, out_dim, dtype):
+    # torch.nn.Linear default (kaiming_uniform a=sqrt(5)) == U(+-1/sqrt(fan_in))
+    bnd = 1.0 / math.sqrt(in_dim)
+    return jax.random.uniform(key, (in_dim, out_dim), dtype=dtype, minval=-bnd, maxval=bnd)
+
+
+def init_field_params(key, static, dtype=jnp.float32):
+    """Build the parameter pytree."""
+    keys = jax.random.split(key, 16)
+    params = {"hash_table": init_hash_table(keys[0], static.grid_meta, dtype)}
+    for i, (di, do) in enumerate(static.mlp_dims("sigma")):
+        params[f"sigma_w{i}"] = _init_linear(keys[1 + i], di, do, dtype)
+    for i, (di, do) in enumerate(static.mlp_dims("color")):
+        params[f"color_w{i}"] = _init_linear(keys[5 + i], di, do, dtype)
+    if static.bg_radius > 0:
+        params["bg_table"] = init_hash_table(keys[9], static.bg_grid_meta, dtype)
+        for i, (di, do) in enumerate(static.mlp_dims("bg")):
+            params[f"bg_w{i}"] = _init_linear(keys[10 + i], di, do, dtype)
+    return params
+
+
+def _mlp(params, prefix, n_layers, h, compute_dtype):
+    h = h.astype(compute_dtype)
+    for l in range(n_layers):
+        w = params[f"{prefix}_w{l}"].astype(compute_dtype)
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        if l != n_layers - 1:
+            h = jnp.maximum(h, 0.0).astype(compute_dtype)
+    return h  # fp32 (from last matmul accumulation)
+
+
+def _dir_encode(static, d):
+    enc = sh_encode(d, static.sh_degree)
+    if static.disable_view_direction:  # reference network.py:122: `* 0`
+        enc = enc * 0.0
+    return enc
+
+
+def field_density(params, static, x):
+    """x: [N, 3] in [-bound, bound] -> (sigma [N], geo_feat [N, G])."""
+    x01 = (x + static.bound) / (2.0 * static.bound)
+    enc = hash_encode(x01, params["hash_table"], static.grid_meta)
+    h = _mlp(params, "sigma", static.num_layers, enc, static.compute_dtype)
+    sigma = trunc_exp(h[..., 0].astype(jnp.float32))
+    geo_feat = h[..., 1:]
+    return sigma, geo_feat
+
+
+def field_color(params, static, d, geo_feat):
+    """d: [N, 3] unit dirs, geo_feat: [N, G] -> rgb [N, out_dim_color]."""
+    enc = _dir_encode(static, d)
+    h = jnp.concatenate(
+        [enc.astype(static.compute_dtype), geo_feat.astype(static.compute_dtype)], axis=-1
+    )
+    h = _mlp(params, "color", static.num_layers_color, h, static.compute_dtype)
+    return jax.nn.sigmoid(h.astype(jnp.float32))
+
+
+def field_forward(params, static, x, d):
+    """(sigma [N], color [N, C]) — reference network.py:104-132."""
+    sigma, geo_feat = field_density(params, static, x)
+    color = field_color(params, static, d, geo_feat)
+    return sigma, color
+
+
+def field_background(params, static, polar, d):
+    """polar: [N, 2] in [-1, 1]; d: [N, 3] -> rgb [N, C]."""
+    x01 = (polar + 1.0) / 2.0
+    enc = hash_encode(x01, params["bg_table"], static.bg_grid_meta)
+    denc = _dir_encode(static, d)
+    h = jnp.concatenate(
+        [denc.astype(static.compute_dtype), enc.astype(static.compute_dtype)], axis=-1
+    )
+    h = _mlp(params, "bg", static.num_layers_bg, h, static.compute_dtype)
+    return jax.nn.sigmoid(h.astype(jnp.float32))
