@@ -1,0 +1,203 @@
+"""Typed configuration, compatible with the reference's configargparse files.
+
+Parity: reference main_nerf.py:97-184 — every flag is available both on the
+CLI and as a `key = value` line in a config txt (the 60 configs under
+/root/reference/configs use that format); assert_config (main_nerf.py:78-93)
+validation is reproduced in `validate()`.
+"""
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # dataset / logging
+    config: Optional[str] = None
+    outdir: str = "output"
+    expweek: str = "testweek"
+    expname: str = "testname"
+    datadir: str = "data"
+    train_idxs: Optional[List[int]] = None
+    val_idxs: Optional[List[int]] = None
+    test_idxs: Optional[List[int]] = None
+    exclude_idxs: Optional[List[int]] = None
+    test: bool = False
+    seed: int = 0
+    disable_view_direction: int = 0
+    out_dim_color: int = 1
+
+    # event-related
+    hotpixs: int = 0
+    e2vid: int = 0
+    events: int = 0
+    event_only: int = 0
+    accumulate_evs: int = 0
+    acc_max_num_evs: int = 0
+    use_luma: int = 1
+    linlog: int = 1
+    batch_size_evs: int = 4096
+    C_thres: float = 0.5
+    images_corrupted: int = 0
+    log_implicit_C_thres: int = 1
+    negative_event_sampling: int = 0
+    epoch_start_noEvLoss: int = 0
+    weight_loss_rgb: float = 1.0
+    w_no_ev: float = 1.0
+    precompute_evs_poses: int = 1
+
+    # training
+    iters: int = 1000000
+    ckpt: str = "latest"
+    lr: float = 1e-3
+    eval_interval: int = 10
+    num_rays: int = 4096
+    cuda_ray: bool = False  # kept name for config compat: occupancy-march path
+    num_steps: int = 512
+    upsample_steps: int = 0
+    max_ray_batch: int = 4096
+    eval_stereo_views: int = 0
+    pp_poses_sphere: int = 1
+    render_mode: int = 0
+
+    # backbone
+    fp16: bool = False  # on TPU this selects bf16 compute
+    ff: bool = False    # fused-MLP pallas path
+    tcnn: bool = False  # alias of ff on TPU (no tiny-cuda-nn)
+
+    # dataset options
+    mode: str = "esim"
+    color_space: str = "srgb"
+    preload: bool = False
+    bound: float = 2.0
+    scale: float = 0.33
+    downscale: int = 1
+    dt_gamma: float = 0.0
+    min_near: float = 0.2
+    density_thresh: float = 0.01
+    density_scale: float = 1.0
+    bg_radius: float = -1.0
+
+    # GUI / viewer
+    gui: bool = False
+    W: int = 1920
+    H: int = 1080
+    radius: float = 5.0
+    fovy: float = 50.0
+    max_spp: int = 64
+
+    # experimental
+    error_map: bool = False
+    clip_text: str = ""
+    rand_pose: int = -1
+
+    # TPU-specific additions (not in the reference)
+    mesh_shape: Optional[List[int]] = None  # devices per ('data',) axis; None = all
+    log_every: int = 100
+    max_keep_ckpt: int = 2
+
+    def validate(self):
+        """reference main_nerf.py:78-93 assert_config."""
+        assert self.acc_max_num_evs >= 0
+        if self.mode == "eds":
+            assert self.pp_poses_sphere == 0
+        assert 1e-7 < self.lr < 1e2
+        if self.event_only:
+            assert self.events
+        if self.mode not in ("tumvie", "eds"):
+            assert self.eval_stereo_views == 0
+        if self.out_dim_color == 1:
+            assert self.use_luma == 0
+        assert self.out_dim_color in (1, 3)
+        return self
+
+
+_BOOL_FIELDS = {
+    f.name for f in dataclasses.fields(Config) if f.type in ("bool", bool)
+}
+_LIST_FIELDS = {"train_idxs", "val_idxs", "test_idxs", "exclude_idxs", "mesh_shape"}
+
+
+def _parse_value(name, raw, target_type):
+    raw = raw.strip()
+    if name in _LIST_FIELDS:
+        raw = raw.strip("[]")
+        return [int(v) for v in raw.replace(",", " ").split()] if raw else []
+    if name in _BOOL_FIELDS:
+        return raw.lower() in ("1", "true", "yes")
+    if raw == "None":
+        return None
+    for typ in (int, float):
+        if target_type is typ:
+            return typ(raw)
+    return raw
+
+
+def load_config_file(path):
+    """Parse a reference-format `key = value` config txt into a dict."""
+    out = {}
+    types = {f.name: f.type for f in dataclasses.fields(Config)}
+    py_types = {f.name: _field_pytype(f) for f in dataclasses.fields(Config)}
+    with open(path) as fh:
+        for line in fh:
+            line = line.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, raw = line.split("=", 1)
+            key = key.strip()
+            if key not in types:
+                continue  # unknown keys ignored (forward compat)
+            out[key] = _parse_value(key, raw, py_types[key])
+    return out
+
+
+def _field_pytype(f):
+    t = f.type
+    if t in ("int", int):
+        return int
+    if t in ("float", float):
+        return float
+    if t in ("bool", bool):
+        return bool
+    return str
+
+
+def build_config(argv=None):
+    """CLI entry: --config file + flag overrides (reference main_nerf.py)."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", type=str, default=None)
+    pre.add_argument("-O", action="store_true", dest="O_flag")
+    known, _ = pre.parse_known_args(argv)
+
+    cfg_kwargs = {}
+    if known.config:
+        cfg_kwargs = load_config_file(known.config)
+        cfg_kwargs["config"] = known.config
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("-O", action="store_true", dest="O_flag")
+    for f in dataclasses.fields(Config):
+        if f.name == "config":
+            continue
+        name = f"--{f.name}"
+        if f.name in _LIST_FIELDS:
+            parser.add_argument(name, type=int, action="append", default=None)
+        elif f.name in _BOOL_FIELDS:
+            parser.add_argument(name, action="store_true", default=None)
+        else:
+            parser.add_argument(name, type=_field_pytype(f), default=None)
+    args = parser.parse_args(argv)
+
+    for f in dataclasses.fields(Config):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            cfg_kwargs[f.name] = v
+    cfg = Config(**cfg_kwargs)
+    if args.O_flag:  # reference -O: fp16 + cuda_ray + preload
+        cfg.fp16 = True
+        cfg.cuda_ray = True
+        cfg.preload = True
+    return cfg.validate()

@@ -1,0 +1,129 @@
+"""Jit-compiled training steps: frame (RGB) mode and event mode.
+
+Parity: reference nerf/utils.py:575-636 (train_step: MSE on sampled pixels
+with pixel-wise random background) and :482-573 (train_step_events: paired
+renders at (pose_before, pose_at), log-intensity difference supervised by
+polarity * C, optional RGB-frame and no-event terms).
+
+TPU design: each step is one pure function (state, batch, rng) -> (state,
+aux) compiled once; both event renders and the backward pass live in a
+single XLA program.  Data-parallel scaling needs no code change here — the
+trainer jits these with batch args sharded over the mesh's 'data' axis and
+the state replicated, and XLA inserts the psum for the gradients.
+"""
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from enerf_tpu.render.renderer import render_rays
+from enerf_tpu.train import losses
+from enerf_tpu.train.state import TrainState, apply_updates
+
+
+class StepStatics(NamedTuple):
+    """Static (hashable) bundle for jit."""
+    field_static: Any
+    num_steps: int
+    upsample_steps: int
+    min_near: float
+    density_scale: float
+    C_thres: float
+    event_only: bool
+    use_luma: bool
+    linlog: bool
+    weight_loss_rgb: float
+    negative_event_sampling: bool
+    w_no_ev: float
+    out_dim_color: int
+
+
+def _render(params, ss, rays_o, rays_d, bg, rng):
+    return render_rays(
+        params, ss.field_static, rays_o, rays_d,
+        num_steps=ss.num_steps, upsample_steps=ss.upsample_steps,
+        bg_color=bg, perturb=True, rng=rng, train=True,
+        min_near=ss.min_near, density_scale=ss.density_scale,
+    )
+
+
+def frames_loss_fn(params, ss, batch, rng):
+    """MSE frame loss with pixel-wise random background (utils.py:586-604)."""
+    k_bg, k_r = jax.random.split(rng)
+    images = batch["images"]  # [N, C] or [N, C+1]
+    C = ss.out_dim_color
+    bg = jax.random.uniform(k_bg, (images.shape[0], C))
+    if images.shape[-1] == C + 1:  # alpha compositing against random bg
+        gt = images[..., :C] * images[..., C:] + bg * (1.0 - images[..., C:])
+    else:
+        gt = images
+    out = _render(params, ss, batch["rays_o"], batch["rays_d"], bg, k_r)
+    loss = jnp.mean((out["image"] - gt) ** 2)
+    return loss, {"loss_frames": loss, "pred": out["image"], "gt": gt}
+
+
+def event_loss_fn(params, ss, batch, rng):
+    """Event photometric loss on paired renders (utils.py:482-573)."""
+    k_bg, k1, k2, k3, k4, kf = jax.random.split(rng, 6)
+    N = batch["rays_evs_o1"].shape[0]
+    C = ss.out_dim_color
+    # one random bg shared by both renders of the pair (utils.py:487)
+    bg = jnp.broadcast_to(jax.random.uniform(k_bg, (1, C)), (N, C))
+
+    out1 = _render(params, ss, batch["rays_evs_o1"], batch["rays_evs_d1"], bg, k1)
+    out2 = _render(params, ss, batch["rays_evs_o2"], batch["rays_evs_d2"], bg, k2)
+    ll1 = losses.log_intensity(out1["image"], ss.use_luma, ss.linlog)
+    ll2 = losses.log_intensity(out2["image"], ss.use_luma, ss.linlog)
+    delta = ll2 - ll1  # [N, 1 or C]
+    pol = batch["pols"][:, None]  # [N, 1]
+    # batch-normalized loss normalizes over the event axis: add batch dim
+    loss_evs = losses.event_loss(
+        delta[None], pol[None], ss.C_thres, event_only=ss.event_only
+    )
+    loss = loss_evs
+    aux = {"loss_evs": loss_evs, "delta_linlog": delta, "pols": pol}
+
+    if not ss.event_only:
+        lf, faux = frames_loss_fn(params, ss,
+                                  {"rays_o": batch["rays_o"],
+                                   "rays_d": batch["rays_d"],
+                                   "images": batch["images"]}, kf)
+        loss = loss + ss.weight_loss_rgb * faux["loss_frames"]
+        aux["loss_frames"] = faux["loss_frames"]
+
+    if ss.negative_event_sampling and "rays_no_evs_o1" in batch:
+        M = batch["rays_no_evs_o1"].shape[0]
+        bg2 = jnp.broadcast_to(jax.random.uniform(k3, (1, C)), (M, C))
+        no1 = _render(params, ss, batch["rays_no_evs_o1"], batch["rays_no_evs_d1"], bg2, k4)
+        no2 = _render(params, ss, batch["rays_no_evs_o2"], batch["rays_no_evs_d2"], bg2, k4)
+        nll1 = losses.log_intensity(no1["image"], ss.use_luma, True)
+        nll2 = losses.log_intensity(no2["image"], ss.use_luma, True)
+        lne = losses.no_event_loss(nll2 - nll1, ss.C_thres, ss.w_no_ev)
+        loss = loss + lne
+        aux["loss_no_evs"] = lne
+
+    return loss, aux
+
+
+@functools.partial(jax.jit, static_argnames=("ss", "opt"), donate_argnums=(0,))
+def train_step_frames(state, batch, rng, ss, opt):
+    (loss, aux), grads = jax.value_and_grad(frames_loss_fn, has_aux=True)(
+        state.params, ss, batch, rng
+    )
+    new_state = apply_updates(state, grads, opt)
+    return new_state, {"loss": loss, "loss_frames": aux["loss_frames"]}
+
+
+@functools.partial(jax.jit, static_argnames=("ss", "opt"), donate_argnums=(0,))
+def train_step_events(state, batch, rng, ss, opt):
+    (loss, aux), grads = jax.value_and_grad(event_loss_fn, has_aux=True)(
+        state.params, ss, batch, rng
+    )
+    new_state = apply_updates(state, grads, opt)
+    out = {"loss": loss, "loss_evs": aux["loss_evs"]}
+    for k in ("loss_frames", "loss_no_evs"):
+        if k in aux:
+            out[k] = aux[k]
+    return new_state, out
