@@ -1,0 +1,1 @@
+from enerf_tpu.parallel.mesh import make_mesh, shard_batch, replicate, make_sharded_train_step

@@ -1,0 +1,81 @@
+"""Multi-chip scaling: mesh construction + sharded train steps.
+
+Parity note (SURVEY.md section 2.3): the reference carries vestigial,
+never-activated torch DDP scaffolding (utils.py:351-354, NCCL all_reduce /
+all_gather in the dead eval path).  This framework makes data parallelism
+first-class and TPU-native:
+
+  - a jax.sharding.Mesh over a ('data',) axis (pod-slice-ready),
+  - ray/event batches sharded along axis 0 over 'data',
+  - parameters, optimizer state and EMA replicated,
+  - gradient all-reduce emerges as an XLA psum over ICI, overlapped with
+    the backward pass by the latency-hiding scheduler — there is no
+    explicit communication code to maintain (the mesh + PartitionSpec IS
+    the backend).
+
+The model itself (hash table + 2 tiny MLPs) has no tensor/pipeline/sequence
+parallel axes worth sharding at reference scale (documented out-of-scope in
+SURVEY.md section 2.3); the scale axis is rays/events per step, which this
+module shards.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from enerf_tpu.train.step import frames_loss_fn, event_loss_fn
+from enerf_tpu.train.state import apply_updates
+
+
+def make_mesh(n_devices=None, devices=None):
+    """1-D data-parallel mesh over the first n devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def shard_batch(batch, mesh):
+    """Place each [N, ...] leaf sharded along axis 0 of the 'data' axis."""
+    sh = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh):
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def make_sharded_train_step(ss, opt, mesh, mode="events"):
+    """Build the jitted data-parallel train step for a mesh.
+
+    state: replicated; batch: sharded over 'data' along axis 0; rng:
+    replicated (each chip derives its lane keys from the same seed + its
+    ray indices being distinct slices).  The mean loss over the global
+    batch makes XLA emit a psum over ICI for the parameter gradients.
+    """
+    loss_fn = event_loss_fn if mode == "events" else frames_loss_fn
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+
+    def step(state, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, ss, batch, rng
+        )
+        new_state = apply_updates(state, grads, opt)
+        scalars = {"loss": loss}
+        for k in ("loss_evs", "loss_frames", "loss_no_evs"):
+            if k in aux:
+                scalars[k] = aux[k]
+        return new_state, scalars
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, shard, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

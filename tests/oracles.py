@@ -73,3 +73,44 @@ def composite_oracle(sigmas, rgbs, deltas, z_vals, nears, fars, bg, density_scal
             wsum[n] += w
         image[n] += (1.0 - wsum[n]) * np.asarray(bg)[n] if np.ndim(bg) > 0 else (1.0 - wsum[n]) * bg
     return image, depth, wsum
+
+
+def march_oracle(ro, rd, bitfield, near, far, bound, cascades, max_steps=1024,
+                 num_samples=64, grid_size=128):
+    """Scalar-loop occupancy march following kernel_march_rays_train semantics."""
+    import math
+
+    SQRT3 = 1.7320508075688772
+    dt_min = 2 * SQRT3 / max_steps
+    H = grid_size
+
+    def mip_from_val(v):
+        if v <= 0:
+            return 0
+        e = math.frexp(v)[1]
+        return min(cascades - 1, max(0, e))
+
+    ts_out, dts_out, valid_out = [], [], []
+    t = near
+    steps = 0
+    while t < far and len(ts_out) < num_samples and steps < 100000:
+        steps += 1
+        pos = np.clip(ro + t * rd, -bound, bound)
+        dt = dt_min  # dt_gamma == 0
+        lvl = max(mip_from_val(np.abs(pos).max()), mip_from_val(dt * H * 0.5))
+        mb = min(2.0 ** lvl, bound)
+        n = np.clip((0.5 * (pos / mb + 1) * H).astype(np.int64), 0, H - 1)
+        cell = lvl * H ** 3 + n[0] * H * H + n[1] * H + n[2]
+        if bitfield.reshape(-1)[cell]:
+            ts_out.append(t)
+            dts_out.append(dt)
+            valid_out.append(True)
+            t += dt
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nb = (((n + 0.5 + 0.5 * np.sign(rd)) / (H - 1) * 2 - 1) * mb - pos) / rd
+            nb = np.where(np.isnan(nb), np.inf, nb)
+            tt = t + max(0.0, nb.min())
+            while t < tt:
+                t += dt
+    return np.asarray(ts_out), np.asarray(dts_out)

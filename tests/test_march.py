@@ -1,0 +1,142 @@
+"""Tests for the occupancy grid and the march renderer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from enerf_tpu.models.field import FieldStatic, init_field_params
+from enerf_tpu.render.occupancy import (
+    GRID_SIZE, OccupancyState, init_occupancy, num_cascades, update_occupancy,
+    mark_untrained_grid,
+)
+from enerf_tpu.render.march import march_rays, render_rays_march
+from enerf_tpu.ops.aabb import near_far_from_aabb
+from enerf_tpu.data import synthetic
+
+from oracles import march_oracle
+
+
+def small_static():
+    return FieldStatic(bound=1.0, out_dim_color=1, num_levels=4, log2_hashmap_size=10)
+
+
+def test_init_and_cascades():
+    assert num_cascades(1.0) == 1
+    assert num_cascades(2.0) == 2
+    assert num_cascades(3.0) == 3
+    occ = init_occupancy(2.0)
+    assert occ.density_grid.shape == (2, GRID_SIZE ** 3)
+    assert not bool(occ.occ_bitfield.any())
+
+
+def test_update_occupancy_full_and_partial():
+    static = small_static()
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    occ = init_occupancy(1.0)
+    occ2 = update_occupancy(params, static, occ, jax.random.PRNGKey(1))
+    assert int(occ2.iter_density) == 1
+    g = np.asarray(occ2.density_grid)
+    assert np.isfinite(g).all() and (g >= 0).all()
+    assert float(occ2.mean_density) > 0
+    # partial branch
+    occ3 = occ2._replace(iter_density=jnp.asarray(20, jnp.int32))
+    occ4 = update_occupancy(params, static, occ3, jax.random.PRNGKey(2))
+    assert int(occ4.iter_density) == 21
+    assert np.isfinite(np.asarray(occ4.density_grid)).all()
+
+
+def test_march_matches_oracle():
+    # occupied ball of radius 0.4 at origin, single cascade
+    H = GRID_SIZE
+    g = np.arange(H)
+    xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
+    centers = 2.0 * np.stack([xs, ys, zs], -1) / (H - 1) - 1.0
+    occ_np = (np.linalg.norm(centers, axis=-1) < 0.4).reshape(1, -1)
+    bitfield = jnp.asarray(occ_np)
+
+    n = 8
+    key = jax.random.PRNGKey(0)
+    d = jax.random.normal(key, (n, 3))
+    d = np.asarray(d / jnp.linalg.norm(d, axis=-1, keepdims=True))
+    o = np.tile(np.asarray([[0.0, 0.0, -2.0]]), (n, 1))
+    aabb = jnp.asarray([-1.0, -1, -1, 1, 1, 1])
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb, 0.2)
+
+    ts, dts, valid = march_rays(
+        jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32), bitfield,
+        nears, fars, jax.random.PRNGKey(1),
+        num_samples=64, max_steps=1024, cascades=1, bound=1.0,
+    )
+    ts, dts, valid = np.asarray(ts), np.asarray(dts), np.asarray(valid)
+
+    for i in range(n):
+        if nears[i] > 1e30:
+            assert not valid[i].any()
+            continue
+        ref_ts, ref_dts = march_oracle(
+            o[i], d[i], occ_np, float(nears[i]), float(fars[i]), 1.0, 1
+        )
+        got = ts[i][valid[i]]
+        # the bounded skip loop may emit slightly fewer samples than the
+        # unbounded oracle; every emitted sample must match the oracle prefix
+        assert len(got) <= len(ref_ts) + 1
+        m = min(len(got), len(ref_ts))
+        np.testing.assert_allclose(got[:m], ref_ts[:m], rtol=1e-4, atol=1e-5)
+        assert m >= min(len(ref_ts), 60) * 0.95, (
+            f"ray {i}: only {m} of {len(ref_ts)} oracle samples matched"
+        )
+
+
+def test_march_render_empty_grid_gives_bg():
+    static = small_static()
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    occ = init_occupancy(1.0)  # all empty
+    key = jax.random.PRNGKey(1)
+    d = jax.random.normal(key, (16, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (16, 1))
+    out = render_rays_march(
+        params, static, occ.occ_bitfield, o, d, num_samples=32, bg_color=0.7
+    )
+    np.testing.assert_allclose(np.asarray(out["image"]), 0.7, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["weights_sum"]), 0.0, atol=1e-6)
+
+
+def test_march_render_matches_fixed_step_on_trained_field():
+    """With a fully-occupied grid the march render should be close to the
+    fixed-step render (same field, comparable step counts)."""
+    from enerf_tpu.render.renderer import render_rays
+
+    static = small_static()
+    params = init_field_params(jax.random.PRNGKey(3), static)
+    occ = init_occupancy(1.0)
+    occ = occ._replace(occ_bitfield=jnp.ones_like(occ.occ_bitfield))
+
+    H = W = 8
+    intr = synthetic.default_intrinsics(H, W)
+    pose = jnp.asarray(synthetic.circle_pose(0.0), jnp.float32)
+    from enerf_tpu.data.rays import get_rays_full
+    ro, rd = get_rays_full(pose, intr, H, W)
+
+    out_m = render_rays_march(
+        params, static, occ.occ_bitfield, ro, rd,
+        num_samples=256, max_steps=256, bg_color=1.0,
+    )
+    out_f = render_rays(
+        params, static, ro, rd, num_steps=256, bg_color=1.0,
+        perturb=False, train=False,
+    )
+    # same field, dense sampling in both: images should agree closely
+    np.testing.assert_allclose(
+        np.asarray(out_m["image"]), np.asarray(out_f["image"]), atol=0.05
+    )
+
+
+def test_mark_untrained():
+    occ = init_occupancy(1.0)
+    pose = synthetic.circle_pose(0.0)
+    intr = synthetic.default_intrinsics(32, 32)
+    occ2 = mark_untrained_grid(occ, pose[None], intr, 1.0)
+    g = np.asarray(occ2.density_grid)
+    assert (g == -1).any(), "no cells culled"
+    assert (g == 0).any(), "all cells culled"
