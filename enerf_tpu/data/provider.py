@@ -1,0 +1,387 @@
+"""Dataset providers: esim event datasets + frame datasets, device-resident.
+
+Parity: reference nerf/provider.py —
+  - esim mode (provider.py:486-504, 720-768): GT pose quatlist (*poses_all*.txt,
+    rows [ts_ns, px, py, pz, qx, qy, qz, qw], c2w in rdf), slerp+cubic at
+    image timestamps, optional sphere preprocessing, rub conversion +
+    nerf_matrix_to_ngp(scale) into the final camera frame; events as
+    per-interval events/*.npy arrays (x, y, ts_ns, pol); images +
+    image_stamps_ns.txt
+  - NeRFDataset collate (provider.py:1057-1104): sample num_rays pixels,
+    gather gt pixels (grayscale when out_dim_color == 1)
+  - EventNeRFDataset (provider.py:1106-1507): per-pixel chains, pose per
+    event, successor / accumulation sampling, paired event rays
+
+TPU design: all preprocessing happens once on the host (vectorized numpy +
+scipy); training-time sampling is pure jnp on device (data/events.py,
+data/rays.py), so a train step never touches the host.  `save_esim_dataset`
+writes the synthetic simulator's output in the exact reference on-disk
+format, which round-trips through this loader in the tests.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as R
+
+from enerf_tpu.data import synthetic
+from enerf_tpu.data.events import build_event_chains, sample_event_batch
+from enerf_tpu.data.poses import (
+    make_pose_interpolator, nerf_matrix_to_ngp, get_hom_trafos,
+)
+from enerf_tpu.data.rays import get_rays_sampled, get_event_rays
+
+
+# ----------------------------------------------------------------------------
+# pose convention helpers (reference pose_utils.py:250-262, 664-676)
+
+
+def rub_from_rdf(poses):
+    """[N, 3or4, >=4]: negate the y and z basis columns (involution)."""
+    p = np.array(poses, np.float64, copy=True)
+    p[:, :3, 1] *= -1
+    p[:, :3, 2] *= -1
+    return p
+
+
+def ngp_from_raw_rdf(pose_rdf, scale):
+    """Full esim chain: raw rdf c2w -> rub -> nerf_matrix_to_ngp."""
+    rub = rub_from_rdf(pose_rdf[None])[0]
+    return nerf_matrix_to_ngp(rub, scale=scale)
+
+
+def raw_rdf_from_ngp(pose_ngp, scale):
+    """Inverse of ngp_from_raw_rdf (used by the dataset writer)."""
+    p = np.asarray(pose_ngp, np.float64)
+    rub = np.eye(4)
+    # invert nerf_matrix_to_ngp: rows (1,2,0) of rub gave ngp rows (0,1,2)
+    rub[1, 0], rub[1, 1], rub[1, 2], rub[1, 3] = p[0, 0], -p[0, 1], -p[0, 2], p[0, 3] / scale
+    rub[2, 0], rub[2, 1], rub[2, 2], rub[2, 3] = p[1, 0], -p[1, 1], -p[1, 2], p[1, 3] / scale
+    rub[0, 0], rub[0, 1], rub[0, 2], rub[0, 3] = p[2, 0], -p[2, 1], -p[2, 2], p[2, 3] / scale
+    return rub_from_rdf(rub[None])[0]
+
+
+# ----------------------------------------------------------------------------
+# esim on-disk format: loader + writer
+
+
+def load_esim_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1):
+    """Load an esim-format dataset directory.
+
+    Returns dict(images [F, H, W, C] float32 in [0,1], tss_imgs_ns [F],
+    poses [F, 4, 4] (final ngp frame), intrinsics (fx, fy, cx, cy),
+    hf_ts [K], hf_poses [K, 4, 4] (final frame), events [M, 4]
+    (x, y, ts_ns, pol), event_frame_ids [M]).
+    """
+    # GT pose list
+    pose_files = glob.glob(os.path.join(datadir, "*poses_all*.txt"))
+    assert pose_files, f"no *poses_all*.txt in {datadir}"
+    quatlist = np.loadtxt(pose_files[0], skiprows=1)
+    assert quatlist.shape[1] == 8
+    hf_ts = quatlist[:, 0]
+    rots = R.from_quat(quatlist[:, 4:8]).as_matrix()
+    hf_raw = get_hom_trafos(rots, quatlist[:, 1:4])  # c2w rdf
+
+    # images
+    imgdir = os.path.join(datadir, "images")
+    tss_imgs_ns = np.loadtxt(os.path.join(imgdir, "image_stamps_ns.txt"))
+    img_paths = sorted(
+        glob.glob(os.path.join(imgdir, "*.png")) + glob.glob(os.path.join(imgdir, "*.jpg"))
+    )
+    assert len(img_paths) == len(tss_imgs_ns)
+    images = []
+    for p in img_paths:
+        im = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+        if im.ndim == 3:
+            im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+        else:
+            im = im[..., None].repeat(3, -1)
+        if downscale > 1:
+            im = cv2.resize(im, (im.shape[1] // downscale, im.shape[0] // downscale),
+                            interpolation=cv2.INTER_AREA)
+        im = im.astype(np.float32) / 255.0
+        if out_dim_color == 1:
+            im = (im @ np.asarray([0.299, 0.587, 0.114], np.float32))[..., None]
+        images.append(im)
+    images = np.stack(images)
+    H, W = images.shape[1:3]
+
+    # intrinsics from poses_bounds hwf (reference load_intrinsics)
+    pb = np.load(os.path.join(datadir, "poses_bounds.npy"))
+    hwf = pb[0, :15].reshape(3, 5)[:, 4]
+    focal = hwf[2] / downscale
+    intrinsics = (focal, focal, W / 2.0, H / 2.0)
+
+    # interpolate raw poses at image times, then convert to the final frame
+    interp = make_pose_interpolator(hf_ts, hf_raw)
+    img_raw = interp(np.clip(tss_imgs_ns, hf_ts[0], hf_ts[-1]))  # [F, 3, 4] rdf
+    img_hom = get_hom_trafos(img_raw[:, :3, :3], img_raw[:, :3, 3])
+    poses = np.stack([ngp_from_raw_rdf(p, scale) for p in img_hom])
+
+    hf_final = np.stack([ngp_from_raw_rdf(p, scale) for p in hf_raw])
+
+    # events
+    eventdir = os.path.join(datadir, "events")
+    ev_files = sorted(glob.glob(os.path.join(eventdir, "*.npy")))
+    events, frame_ids = [], []
+    for fid, f in enumerate(ev_files):
+        ev = np.load(f)[:, :4]
+        events.append(ev)
+        frame_ids.append(np.full(ev.shape[0], fid, np.int64))
+    events = np.concatenate(events) if events else np.zeros((0, 4))
+    frame_ids = np.concatenate(frame_ids) if frame_ids else np.zeros((0,), np.int64)
+    # polarity to +-1 (reference transform_pol)
+    if events.shape[0] and set(np.unique(events[:, 3])) <= {0.0, 1.0}:
+        events[:, 3] = events[:, 3] * 2.0 - 1.0
+
+    return {
+        "images": images,
+        "tss_imgs_ns": tss_imgs_ns,
+        "poses": poses,
+        "intrinsics": intrinsics,
+        "hf_ts": hf_ts,
+        "hf_poses": hf_final,
+        "events": events,
+        "event_frame_ids": frame_ids,
+        "H": H,
+        "W": W,
+    }
+
+
+def save_esim_dataset(data, datadir, scale=0.33):
+    """Write a synthetic dataset (data/synthetic.simulate_events output) in
+    the reference esim on-disk format."""
+    os.makedirs(os.path.join(datadir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(datadir, "events"), exist_ok=True)
+
+    H, W = data["H"], data["W"]
+    fx = data["intrinsics"][0]
+    ts_ns = data["frame_ts"] * 1e9
+
+    # images + stamps
+    np.savetxt(os.path.join(datadir, "images", "image_stamps_ns.txt"), ts_ns)
+    for i, im in enumerate(data["frames"]):
+        img8 = (np.clip(im[..., 0], 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(datadir, "images", f"{i:06d}.png"), img8)
+
+    # raw pose quatlist: invert the ngp chain (+ dense time sampling)
+    hf_t = np.linspace(data["frame_ts"][0], data["frame_ts"][-1], 4 * len(ts_ns))
+    rows = []
+    for t in hf_t:
+        raw = raw_rdf_from_ngp(data["pose_fn"](t), scale)
+        q = R.from_matrix(raw[:3, :3]).as_quat()
+        rows.append([t * 1e9, *raw[:3, 3], *q])
+    np.savetxt(
+        os.path.join(datadir, "poses_all.txt"), np.asarray(rows),
+        header="ts_ns px py pz qx qy qz qw",
+    )
+
+    # poses_bounds.npy (only hwf is consumed by the loader)
+    pb = np.zeros((max(len(ts_ns), 11), 17))
+    base = np.eye(3, 5)
+    base[:, 4] = (H, W, fx)
+    pb[:, :15] = base.ravel()
+    np.save(os.path.join(datadir, "poses_bounds.npy"), pb)
+
+    # events per inter-frame interval
+    ev = data["events"]
+    for fid in range(len(ts_ns) - 1):
+        t0, t1 = data["frame_ts"][fid], data["frame_ts"][fid + 1]
+        m = (ev[:, 2] >= t0) & (ev[:, 2] < t1) if fid < len(ts_ns) - 2 else (
+            (ev[:, 2] >= t0) & (ev[:, 2] <= t1)
+        )
+        chunk = ev[m].copy()
+        chunk[:, 2] *= 1e9  # seconds -> ns
+        np.save(os.path.join(datadir, "events", f"{fid:06d}.npy"), chunk)
+    return datadir
+
+
+# ----------------------------------------------------------------------------
+# providers (the protocol consumed by train/trainer.py)
+
+
+class FramesProvider:
+    """Frame-supervision provider (reference NeRFDataset)."""
+
+    def __init__(self, images, poses, intrinsics, num_rays=4096,
+                 steps_per_epoch=100, val_fraction_last=None):
+        self.images = jnp.asarray(images.reshape(images.shape[0], -1, images.shape[-1]))
+        self.poses = jnp.asarray(poses, jnp.float32)
+        self.train_poses = np.asarray(poses)
+        self.intrinsics = intrinsics
+        self.H, self.W = images.shape[1:3]
+        self.num_rays = num_rays
+        self.steps_per_epoch = steps_per_epoch
+        self._images_np = images
+
+    def train_step_batch(self, key):
+        k1, k2 = jax.random.split(key)
+        fi = jax.random.randint(k1, (), 0, self.poses.shape[0])
+        rays = get_rays_sampled(
+            k2, self.poses[fi], self.intrinsics, self.H, self.W, self.num_rays
+        )
+        return {
+            "rays_o": rays["rays_o"],
+            "rays_d": rays["rays_d"],
+            "images": self.images[fi][rays["inds"]],
+        }
+
+    def _views(self, idxs):
+        return [
+            {
+                "pose": np.asarray(self.poses[i]),
+                "intrinsics": self.intrinsics,
+                "H": self.H,
+                "W": self.W,
+                "gt": self._images_np[i],
+            }
+            for i in idxs
+        ]
+
+    def val_views(self):
+        return self._views(range(len(self._images_np)))
+
+    def test_views(self):
+        return self._views(range(len(self._images_np)))
+
+
+class EventProvider:
+    """Event-supervision provider (reference EventNeRFDataset).
+
+    Builds per-pixel chains + per-event poses once on the host; batch
+    sampling runs on device.
+    """
+
+    def __init__(self, events, hf_ts, hf_poses, intrinsics, H, W,
+                 batch_size_evs=4096, accumulate_evs=False, acc_max_num_evs=0,
+                 frames=None, frame_poses=None, num_rays=4096,
+                 event_frame_ids=None, n_frames=1, steps_per_epoch=100,
+                 precompute_evs_poses=True):
+        self.chains, ev_ts_sorted = build_event_chains(
+            events, event_frame_ids, n_frames
+        )
+        interp = make_pose_interpolator(hf_ts, hf_poses)
+        self.poses_evs = jnp.asarray(interp(ev_ts_sorted))  # [M, 3, 4]
+        self.intrinsics = intrinsics
+        self.H, self.W = H, W
+        self.batch_size_evs = batch_size_evs
+        self.accumulate_evs = accumulate_evs
+        self.acc_max_num_evs = acc_max_num_evs
+        self.n_frames = n_frames
+        self.steps_per_epoch = steps_per_epoch
+        self.num_rays = num_rays
+
+        self.frames = None
+        if frames is not None:
+            self.frames = jnp.asarray(frames.reshape(frames.shape[0], -1, frames.shape[-1]))
+            self.frame_poses = jnp.asarray(frame_poses, jnp.float32)
+            self._frames_np = frames
+            self.train_poses = np.asarray(frame_poses)
+
+    def train_step_batch(self, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        frame = jax.random.randint(k1, (), 0, self.n_frames)
+        samp = sample_event_batch(
+            k2, self.chains, frame, self.batch_size_evs,
+            accumulate=self.accumulate_evs, acc_max_num_evs=self.acc_max_num_evs,
+        )
+        xs = self.chains.xs[samp["idx_start"]]
+        ys = self.chains.ys[samp["idx_start"]]
+        rays = get_event_rays(
+            xs, ys, self.poses_evs[samp["idx_start"]],
+            self.poses_evs[samp["idx_end"]], self.intrinsics,
+        )
+        batch = dict(rays, pols=samp["pols"])
+        if self.frames is not None:
+            fi = jax.random.randint(k3, (), 0, self.frame_poses.shape[0])
+            frays = get_rays_sampled(
+                k4, self.frame_poses[fi], self.intrinsics, self.H, self.W, self.num_rays
+            )
+            batch["rays_o"] = frays["rays_o"]
+            batch["rays_d"] = frays["rays_d"]
+            batch["images"] = self.frames[fi][frays["inds"]]
+        return batch
+
+    def val_views(self):
+        if self.frames is None:
+            return []
+        return [
+            {
+                "pose": np.asarray(self.frame_poses[i]),
+                "intrinsics": self.intrinsics,
+                "H": self.H,
+                "W": self.W,
+                "gt": self._frames_np[i],
+            }
+            for i in range(len(self._frames_np))
+        ]
+
+    def test_views(self):
+        return self.val_views()
+
+
+def make_providers(cfg, select_frames=None):
+    """Build (train_provider, val_provider) from cfg (reference main_nerf
+    dataset dispatch).  esim mode reads cfg.datadir; 'synthetic' generates
+    data in-process (used by tests/bench and as a smoke dataset)."""
+    if cfg.mode == "synthetic":
+        data = synthetic.simulate_events(H=cfg.H, W=cfg.W, C=abs(cfg.C_thres) if cfg.C_thres > 0 else 0.2)
+        images = data["frames"] if cfg.out_dim_color == 1 else np.repeat(data["frames"], 3, -1)
+        val = FramesProvider(images, data["poses"], data["intrinsics"],
+                             num_rays=cfg.num_rays)
+        if cfg.events:
+            train = EventProvider(
+                data["events"], data["frame_ts"], data["poses"],
+                data["intrinsics"], data["H"], data["W"],
+                batch_size_evs=cfg.batch_size_evs,
+                accumulate_evs=bool(cfg.accumulate_evs),
+                acc_max_num_evs=cfg.acc_max_num_evs,
+                frames=None if cfg.event_only else images,
+                frame_poses=None if cfg.event_only else data["poses"],
+                num_rays=cfg.num_rays,
+            )
+        else:
+            train = FramesProvider(images, data["poses"], data["intrinsics"],
+                                   num_rays=cfg.num_rays)
+        return train, val
+
+    if cfg.mode == "esim":
+        data = load_esim_dataset(
+            cfg.datadir, scale=cfg.scale, out_dim_color=cfg.out_dim_color,
+            downscale=cfg.downscale,
+        )
+        sf = select_frames or {}
+        tr_idx = sf.get("train_idxs") or list(range(len(data["images"])))
+        va_idx = sf.get("val_idxs") or tr_idx[:1]
+        tr_idx = [i for i in tr_idx if i < len(data["images"])]
+        va_idx = [i for i in va_idx if i < len(data["images"])]
+        val = FramesProvider(
+            data["images"][va_idx], data["poses"][va_idx], data["intrinsics"],
+            num_rays=cfg.num_rays,
+        )
+        if cfg.events:
+            # events are grouped per file; the reference groups per train
+            # frame interval — one global group is equivalent for sampling
+            train = EventProvider(
+                data["events"], data["hf_ts"], data["hf_poses"],
+                data["intrinsics"], data["H"], data["W"],
+                batch_size_evs=cfg.batch_size_evs,
+                accumulate_evs=bool(cfg.accumulate_evs),
+                acc_max_num_evs=cfg.acc_max_num_evs,
+                frames=None if cfg.event_only else data["images"][tr_idx],
+                frame_poses=None if cfg.event_only else data["poses"][tr_idx],
+                num_rays=cfg.num_rays,
+            )
+        else:
+            train = FramesProvider(
+                data["images"][tr_idx], data["poses"][tr_idx],
+                data["intrinsics"], num_rays=cfg.num_rays,
+            )
+        return train, val
+
+    raise NotImplementedError(f"mode {cfg.mode} (tumvie/eds land in data/tumvie.py, data/eds.py)")

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from enerf_tpu.ops.hashgrid import HashGridMeta, hash_encode, init_hash_table
+from enerf_tpu.ops.blockgrid import BlockGridMeta, block_encode, init_block_table
 from enerf_tpu.ops.sh import sh_encode, sh_output_dim
 from enerf_tpu.ops.trunc_exp import trunc_exp
 
@@ -52,6 +53,8 @@ class FieldStatic:
         base_resolution=16,
         log2_hashmap_size=19,
         gridtype="hash",
+        encoding="hashgrid",  # 'hashgrid' (exact reference parity) or
+                              # 'blockgrid' (TPU-fast block-packed rows)
         compute_dtype=jnp.float32,
     ):
         self.bound = float(bound)
@@ -67,17 +70,27 @@ class FieldStatic:
         self.num_layers_bg = num_layers_bg
         self.hidden_dim_bg = hidden_dim_bg
         self.compute_dtype = compute_dtype
+        self.encoding = encoding
 
         # reference network.py:36: desired_resolution = 2048 * bound
-        self.grid_meta = HashGridMeta(
-            input_dim=3,
-            num_levels=num_levels,
-            level_dim=level_dim,
-            base_resolution=base_resolution,
-            log2_hashmap_size=log2_hashmap_size,
-            desired_resolution=2048 * max(self.bound, 1.0),
-            gridtype=gridtype,
-        )
+        if encoding == "blockgrid":
+            self.grid_meta = BlockGridMeta(
+                num_levels=num_levels,
+                level_dim=level_dim,
+                base_resolution=base_resolution,
+                log2_hashmap_size=log2_hashmap_size,
+                desired_resolution=2048 * max(self.bound, 1.0),
+            )
+        else:
+            self.grid_meta = HashGridMeta(
+                input_dim=3,
+                num_levels=num_levels,
+                level_dim=level_dim,
+                base_resolution=base_resolution,
+                log2_hashmap_size=log2_hashmap_size,
+                desired_resolution=2048 * max(self.bound, 1.0),
+                gridtype=gridtype,
+            )
         self.in_dim = self.grid_meta.output_dim
         self.in_dim_dir = sh_output_dim(sh_degree)
         if self.bg_radius > 0:
@@ -126,7 +139,10 @@ def _init_linear(key, in_dim, out_dim, dtype):
 def init_field_params(key, static, dtype=jnp.float32):
     """Build the parameter pytree."""
     keys = jax.random.split(key, 16)
-    params = {"hash_table": init_hash_table(keys[0], static.grid_meta, dtype)}
+    if static.encoding == "blockgrid":
+        params = {"hash_table": init_block_table(keys[0], static.grid_meta, dtype)}
+    else:
+        params = {"hash_table": init_hash_table(keys[0], static.grid_meta, dtype)}
     for i, (di, do) in enumerate(static.mlp_dims("sigma")):
         params[f"sigma_w{i}"] = _init_linear(keys[1 + i], di, do, dtype)
     for i, (di, do) in enumerate(static.mlp_dims("color")):
@@ -158,7 +174,13 @@ def _dir_encode(static, d):
 def field_density(params, static, x):
     """x: [N, 3] in [-bound, bound] -> (sigma [N], geo_feat [N, G])."""
     x01 = (x + static.bound) / (2.0 * static.bound)
-    enc = hash_encode(x01, params["hash_table"], static.grid_meta)
+    table = params["hash_table"]
+    if static.compute_dtype == jnp.bfloat16:
+        table = table.astype(jnp.bfloat16)
+    if static.encoding == "blockgrid":
+        enc = block_encode(x01, table, static.grid_meta)
+    else:
+        enc = hash_encode(x01, table, static.grid_meta)
     h = _mlp(params, "sigma", static.num_layers, enc, static.compute_dtype)
     sigma = trunc_exp(h[..., 0].astype(jnp.float32))
     geo_feat = h[..., 1:]

@@ -1,0 +1,187 @@
+"""Block-packed multiresolution grid encoding — the TPU-fast hash grid.
+
+Motivation (measured on TPU v5e, see BENCH_NOTES.md): XLA's gather costs
+~11 ns per row *independent of row width up to ~512 bytes* — fetching 2
+floats costs the same as fetching 128.  The reference's per-cell hash layout
+(gridencoder.cu) therefore runs ~100x below memory speed-of-light on TPU:
+8 corner gathers x 16 levels per sample are pure address-generation stalls.
+
+Design: cells are grouped into 4x4x4 blocks stored as one table row of
+5x5x5 = 125 cells (a one-cell halo), so EVERY sample's 8 trilinear corners
+live inside a single row: ONE gather per sample per level.  Trilinear
+interpolation becomes a separable contraction (three [5]-vectors outer
+product against the row) that runs on the VPU/MXU instead of the address
+unit.  The backward pass is the gather's scatter-add VJP over 125*C-float
+rows — also ~30x fewer scatter descriptors than per-cell.
+
+Addressing parity with the reference (gridencoder.cu:53-71): levels whose
+cell count fits the table keep a dense block layout; larger levels hash the
+*block* coordinate with the same xor-prime hash, modulo the level's row
+count.  Halo cells are independent parameters (untied): the per-level
+parameter count is ~2x the reference's at equal hashmap size, and the
+interpolated field may be discontinuous at block boundaries (collision-like
+noise the MLP absorbs, validated by the end-to-end convergence tests).
+`enerf_tpu/ops/hashgrid.py` remains the exact-parity per-cell path.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_PRIMES = (1, 2654435761, 805459861)
+BLOCK = 4
+HALO = 5
+ROW_CELLS = HALO ** 3  # 125
+
+
+class BlockGridMeta:
+    """Static per-level constants for the block-packed grid (3D only)."""
+
+    def __init__(
+        self,
+        num_levels=16,
+        level_dim=2,
+        per_level_scale=2.0,
+        base_resolution=16,
+        log2_hashmap_size=19,
+        desired_resolution=None,
+    ):
+        if desired_resolution is not None and num_levels > 1:
+            per_level_scale = float(
+                np.exp2(np.log2(desired_resolution / base_resolution) / (num_levels - 1))
+            )
+        self.input_dim = 3
+        self.num_levels = int(num_levels)
+        self.level_dim = int(level_dim)
+        self.per_level_scale = float(per_level_scale)
+        self.base_resolution = int(base_resolution)
+        self.log2_hashmap_size = int(log2_hashmap_size)
+        self.output_dim = self.num_levels * self.level_dim
+
+        S = np.log2(self.per_level_scale)
+        H = self.base_resolution
+        # cap rows so hashed levels hold ~the reference's entry budget
+        max_rows = max(2 ** self.log2_hashmap_size // (BLOCK ** 3), 1)
+
+        scales, resolutions, nbs, n_rows, hashed, offsets = [], [], [], [], [], [0]
+        for lvl in range(self.num_levels):
+            scale = np.exp2(lvl * S) * H - 1.0
+            res = int(np.ceil(scale)) + 1
+            nb = (res + 1 + BLOCK - 1) // BLOCK  # blocks per dim (corners <= res)
+            dense_rows = nb ** 3
+            is_hashed = dense_rows > max_rows
+            rows = max_rows if is_hashed else dense_rows
+            scales.append(scale)
+            resolutions.append(res)
+            nbs.append(nb)
+            n_rows.append(rows)
+            hashed.append(is_hashed)
+            offsets.append(offsets[-1] + rows)
+        self.scales = np.asarray(scales, np.float32)
+        self.resolutions = np.asarray(resolutions, np.int64)
+        self.nbs = np.asarray(nbs, np.int64)
+        self.n_rows = np.asarray(n_rows, np.int64)
+        self.hashed = np.asarray(hashed, bool)
+        self.offsets = np.asarray(offsets, np.int64)
+        self.total_rows = int(self.offsets[-1])
+
+        self._scales_dev = jnp.asarray(self.scales)
+        self._nbs_dev = jnp.asarray(self.nbs.astype(np.int32))
+        self._rows_dev = jnp.asarray(self.n_rows.astype(np.uint32))
+        self._offsets_dev = jnp.asarray(self.offsets[:-1].astype(np.int32))
+        self._hashed_dev = jnp.asarray(self.hashed)
+
+
+def init_block_table(key, meta, dtype=jnp.float32):
+    """[total_rows, 125 * C] parameters, U(-1e-4, 1e-4) like the reference."""
+    return jax.random.uniform(
+        key,
+        (meta.total_rows, ROW_CELLS * meta.level_dim),
+        dtype=dtype,
+        minval=-1e-4,
+        maxval=1e-4,
+    )
+
+
+def _encode_chunk(x, table, meta):
+    """[n, 3] in [0, 1] (pre-clipped) -> [n, L, C].
+
+    Row layout is channel-planar: row[c * 125 + p] with p = (px*5+py)*5+pz,
+    so each channel's contraction runs over a contiguous 125-wide lane axis
+    (interleaved [125, C] layouts leave the VPU lanes ~60x underfilled).
+    The trilinear weight vector is built directly on a [125] iota —
+    elementwise, fusable, never materialized separately.
+    """
+    n = x.shape[0]
+    L, C = meta.num_levels, meta.level_dim
+
+    pos = x[:, None, :] * meta._scales_dev[None, :, None] + 0.5  # [n, L, 3]
+    pg = jnp.floor(pos)
+    frac = pos - pg
+    pg = pg.astype(jnp.int32)
+    b = pg // BLOCK                      # block coords [n, L, 3]
+    lo = pg - b * BLOCK                  # [n, L, 3] in [0, 3]
+
+    # row index: dense linear or xor-prime block hash (gridencoder.cu:34-50)
+    nb = meta._nbs_dev[None, :]          # [1, L]
+    dense = (b[..., 0] * nb + b[..., 1]) * nb + b[..., 2]
+    bu = b.astype(jnp.uint32)
+    h = bu[..., 0] * jnp.uint32(_PRIMES[0])
+    h = h ^ (bu[..., 1] * jnp.uint32(_PRIMES[1]))
+    h = h ^ (bu[..., 2] * jnp.uint32(_PRIMES[2]))
+    rid = jnp.where(meta._hashed_dev[None, :], h, dense.astype(jnp.uint32))
+    rid = (rid % meta._rows_dev[None, :]).astype(jnp.int32) + meta._offsets_dev[None, :]
+
+    # per-cell weights on a flat [125] iota: W[p] = wx(px) * wy(py) * wz(pz)
+    p = np.arange(ROW_CELLS)
+    pxs = jnp.asarray(p // (HALO * HALO), jnp.int32)      # [125]
+    pys = jnp.asarray((p // HALO) % HALO, jnp.int32)
+    pzs = jnp.asarray(p % HALO, jnp.int32)
+
+    def axis_w(pidx, d):
+        l = lo[..., d][..., None]                         # [n, L, 1]
+        f = frac[..., d][..., None]
+        return jnp.where(pidx == l, 1.0 - f, 0.0) + jnp.where(pidx == l + 1, f, 0.0)
+
+    W = axis_w(pxs, 0) * axis_w(pys, 1) * axis_w(pzs, 2)  # [n, L, 125]
+
+    rows = table[rid]                                     # [n, L, C*125] gather
+    W = W.astype(rows.dtype)
+    feats = [
+        jnp.sum(W * rows[..., c * ROW_CELLS : (c + 1) * ROW_CELLS], axis=-1)
+        for c in range(C)
+    ]
+    return jnp.stack(feats, axis=-1)                      # [n, L, C]
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "point_chunk"))
+def block_encode(x01, table, meta, point_chunk=1 << 16):
+    """Encode [N, 3] positions in [0, 1] -> [N, L*C].
+
+    point_chunk bounds the materialized gather: rows for a chunk are
+    [point_chunk, L, 125*C] (~500 MB f32 at the defaults), processed by a
+    lax.map.  The table path is linear, so backward residuals are only the
+    row ids and weights — the rows themselves are never saved.
+    """
+    N = x01.shape[0]
+    L, C = meta.num_levels, meta.level_dim
+
+    x = x01.astype(jnp.float32)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [N]
+    x = jnp.clip(x, 0.0, 1.0)
+
+    if N <= point_chunk:
+        out = _encode_chunk(x, table, meta)
+    else:
+        n_chunks = -(-N // point_chunk)
+        pad = n_chunks * point_chunk - N
+        xp = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], 0)
+        out = jax.lax.map(
+            lambda xc: _encode_chunk(xc, table, meta),
+            xp.reshape(n_chunks, point_chunk, 3),
+        ).reshape(n_chunks * point_chunk, L, C)[:N]
+
+    out = jnp.where(oob[:, None, None], 0.0, out)
+    return out.reshape(N, L * C)

@@ -49,7 +49,7 @@ class HashGridMeta:
         desired_resolution=None,
         gridtype="hash",
     ):
-        if desired_resolution is not None:
+        if desired_resolution is not None and num_levels > 1:
             per_level_scale = float(
                 np.exp2(np.log2(desired_resolution / base_resolution) / (num_levels - 1))
             )

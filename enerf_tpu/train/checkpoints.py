@@ -1,0 +1,142 @@
+"""Checkpoint save/load/rotate for the full training state.
+
+Parity: reference nerf/utils.py:1295-1416 — every-epoch full checkpoints
+(model, optimizer, scheduler, scaler, EMA, occupancy grid stats, epoch/
+global_step/stats) with max_keep rotation, a separate best-by-metric
+model-only checkpoint carrying the EMA weights, `latest` glob resolution,
+and lenient partial loading.
+
+TPU design: the whole TrainState + OccupancyState are pytrees; they are
+flattened with key paths into one .npz per checkpoint plus a json sidecar
+(step, epoch, stats).  No torch pickles; files are portable across hosts.
+"""
+
+import json
+import os
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _flatten(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out, treedef
+
+
+def save_checkpoint(path, state, occupancy=None, epoch=0, stats=None):
+    """Write <path>.npz (+ .json).  Returns the npz path."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays, _ = _flatten({"state": state, "occupancy": occupancy})
+    np.savez(path + ".npz", **arrays)
+    meta = {
+        "epoch": int(epoch),
+        "global_step": int(np.asarray(state.step)),
+        "stats": stats or {},
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+    return path + ".npz"
+
+
+def load_checkpoint(path, state_template, occupancy_template=None):
+    """Load into the shapes of the provided templates (lenient: missing keys
+    keep template values, unexpected keys are ignored — utils.py:1383-1398).
+
+    Returns (state, occupancy, meta_dict).
+    """
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    meta_path = path[:-4] + ".json"
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+
+    def refill(template, prefix):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        n_hit = 0
+        for p, leaf in flat:
+            key = "/".join([prefix] + [str(q) for q in p])
+            if key in data and data[key].shape == np.asarray(leaf).shape:
+                leaves.append(jnp.asarray(data[key], jnp.asarray(leaf).dtype))
+                n_hit += 1
+            else:
+                leaves.append(leaf)
+        if flat and n_hit == 0:
+            raise KeyError(
+                f"checkpoint {path} matched no keys under prefix {prefix!r}; "
+                f"sample stored keys: {list(data.keys())[:3]}"
+            )
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    # paths were flattened under a dict {"state":…, "occupancy":…}
+    state = refill(state_template, "['state']")
+    occ = None
+    if occupancy_template is not None:
+        occ = refill(occupancy_template, "['occupancy']")
+    return state, occ, meta
+
+
+class CheckpointManager:
+    """Rotating checkpoints + best tracking (reference Trainer semantics)."""
+
+    def __init__(self, ckpt_dir, name="ngp", max_keep=2):
+        self.ckpt_dir = ckpt_dir
+        self.name = name
+        self.max_keep = max_keep
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _list(self):
+        pat = re.compile(rf"{re.escape(self.name)}_ep(\d+)\.npz$")
+        out = []
+        for f in sorted(os.listdir(self.ckpt_dir)):
+            m = pat.match(f)
+            if m:
+                out.append((int(m.group(1)), os.path.join(self.ckpt_dir, f)))
+        return sorted(out)
+
+    def save(self, state, occupancy, epoch, stats=None):
+        path = os.path.join(self.ckpt_dir, f"{self.name}_ep{epoch:04d}")
+        out = save_checkpoint(path, state, occupancy, epoch, stats)
+        # rotate (utils.py:1327-1332)
+        ckpts = self._list()
+        while len(ckpts) > self.max_keep:
+            ep, p = ckpts.pop(0)
+            for ext in (".npz", ".json"):
+                fp = p[:-4] + ext
+                if os.path.exists(fp):
+                    os.remove(fp)
+        return out
+
+    def save_best(self, state, occupancy, epoch, stats=None):
+        """Best-by-metric checkpoint with EMA weights swapped in
+        (utils.py:1337-1345)."""
+        best_state = state._replace(params=state.ema_params)
+        path = os.path.join(self.ckpt_dir, f"{self.name}_best")
+        return save_checkpoint(path, best_state, occupancy, epoch, stats)
+
+    def latest(self):
+        ckpts = self._list()
+        return ckpts[-1][1] if ckpts else None
+
+    def best(self):
+        p = os.path.join(self.ckpt_dir, f"{self.name}_best.npz")
+        return p if os.path.exists(p) else None
+
+    def resolve(self, which="latest"):
+        """'latest' | 'best' | explicit path (utils.py:1353-1381)."""
+        if which == "latest":
+            return self.latest()
+        if which == "best":
+            return self.best() or self.latest()
+        if which == "scratch":
+            return None
+        return which

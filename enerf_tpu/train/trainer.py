@@ -1,0 +1,323 @@
+"""Training/eval/test orchestration — the reference Trainer, TPU-native.
+
+Parity: reference nerf/utils.py:289-1416 —
+  - workspace management + config snapshot + append-file logging (:393-443)
+  - train loop with occupancy update every 16 steps (:944-947), EMA, LR
+    schedule stepped per iteration
+  - evaluation: full-image staged renders; PSNR/LPIPS/SSIM per image; for
+    event-only training the affine (a, b) log-intensity correction solved
+    over ALL val images before corrected metrics (:44-71, 1170-1265)
+  - rotating checkpoints + best-by-metric with EMA weights (:1295-1416)
+  - test renders + mesh export (:768-804, 712-732)
+
+TPU design: the trainer is orchestration only — every compute step is a
+jitted pure function over explicit state (TrainState + OccupancyState).
+Multi-chip data parallelism is a constructor flag: the same step functions
+are jitted with a mesh and batch shardings from parallel/mesh.py.
+LPIPS is reported as None when the pretrained-weights package is absent
+(documented divergence; see train/metrics.py).
+"""
+
+import json
+import os
+import time
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from enerf_tpu.models.field import FieldStatic, init_field_params, field_density
+from enerf_tpu.render.renderer import render_rays_staged
+from enerf_tpu.render.march import render_rays_march
+from enerf_tpu.render.occupancy import (
+    init_occupancy, update_occupancy, mark_untrained_grid,
+)
+from enerf_tpu.train.state import init_train_state
+from enerf_tpu.train.step import StepStatics, train_step_frames, train_step_events
+from enerf_tpu.train.checkpoints import CheckpointManager, load_checkpoint
+from enerf_tpu.train import metrics as M
+from enerf_tpu.train.losses import rgb_to_luma
+from enerf_tpu.data.rays import get_rays_full
+
+
+class Trainer:
+    def __init__(self, cfg, workspace=None, use_checkpoint=None, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        # reference main_nerf.py:46-52: --ff/--tcnn force fp16; on TPU they
+        # select the block-packed encoder + bf16 compute
+        use_fast = bool(cfg.ff or cfg.tcnn)
+        compute_dtype = jnp.bfloat16 if (cfg.fp16 or use_fast) else jnp.float32
+        self.static = FieldStatic(
+            bound=cfg.bound,
+            out_dim_color=cfg.out_dim_color,
+            disable_view_direction=bool(cfg.disable_view_direction),
+            bg_radius=cfg.bg_radius,
+            encoding="blockgrid" if use_fast else "hashgrid",
+            compute_dtype=compute_dtype,
+        )
+        self.ss = StepStatics(
+            field_static=self.static,
+            num_steps=cfg.num_steps,
+            upsample_steps=cfg.upsample_steps,
+            min_near=cfg.min_near,
+            density_scale=cfg.density_scale,
+            C_thres=cfg.C_thres,
+            event_only=bool(cfg.event_only),
+            use_luma=bool(cfg.use_luma),
+            linlog=bool(cfg.linlog),
+            weight_loss_rgb=cfg.weight_loss_rgb,
+            negative_event_sampling=bool(cfg.negative_event_sampling),
+            w_no_ev=cfg.w_no_ev,
+            out_dim_color=cfg.out_dim_color,
+        )
+
+        params = init_field_params(jax.random.PRNGKey(cfg.seed), self.static)
+        self.state, self.opt = init_train_state(params, cfg.lr, cfg.iters)
+        self.occupancy = init_occupancy(cfg.bound) if cfg.cuda_ray else None
+
+        # workspace (reference utils.py:393-443)
+        self.workspace = workspace or os.path.join(
+            cfg.outdir, cfg.expweek, cfg.expname
+        )
+        os.makedirs(self.workspace, exist_ok=True)
+        self.log_path = os.path.join(self.workspace, "log.txt")
+        with open(os.path.join(self.workspace, "args.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+
+        self.ckpt = CheckpointManager(
+            os.path.join(self.workspace, "checkpoints"),
+            name=cfg.expname, max_keep=cfg.max_keep_ckpt,
+        )
+        self.epoch = 0
+        self.best_metric = -np.inf
+        self.stats = {"loss": [], "psnr": []}
+
+        if use_checkpoint and use_checkpoint != "scratch":
+            path = self.ckpt.resolve(use_checkpoint)
+            if path:
+                self.state, self.occupancy, meta = load_checkpoint(
+                    path, self.state, self.occupancy
+                )
+                self.epoch = meta.get("epoch", 0)
+                self.log(f"[ckpt] resumed from {path} at epoch {self.epoch}")
+
+        self._sharded_step = None
+        if mesh is not None:
+            from enerf_tpu.parallel.mesh import make_sharded_train_step
+            mode = "events" if cfg.events else "frames"
+            self._sharded_step = make_sharded_train_step(
+                self.ss, self.opt, mesh, mode=mode
+            )
+
+    # ------------------------------------------------------------------ util
+
+    def log(self, *msg):
+        line = " ".join(str(m) for m in msg)
+        print(line, flush=True)
+        with open(self.log_path, "a") as f:
+            f.write(line + "\n")
+
+    def _step_fn(self, batch, rng):
+        if self._sharded_step is not None:
+            from enerf_tpu.parallel.mesh import shard_batch, replicate
+            state = self.state
+            batch = shard_batch(batch, self.mesh)
+            self.state, aux = self._sharded_step(state, batch, rng)
+            return aux
+        if self.cfg.events:
+            self.state, aux = train_step_events(self.state, batch, rng, self.ss, self.opt)
+        else:
+            self.state, aux = train_step_frames(self.state, batch, rng, self.ss, self.opt)
+        return aux
+
+    # ----------------------------------------------------------------- train
+
+    def train(self, provider, valid_provider=None, max_epoch=1):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed + 1)
+
+        if self.occupancy is not None and hasattr(provider, "train_poses"):
+            self.occupancy = mark_untrained_grid(
+                self.occupancy, provider.train_poses, provider.intrinsics, cfg.bound
+            )
+            self.log("[occupancy] marked untrained cells")
+
+        global_step = int(self.state.step)
+        steps_per_epoch = getattr(provider, "steps_per_epoch", 100)
+        t_start = time.time()
+
+        for epoch in range(self.epoch + 1, max_epoch + 1):
+            self.epoch = epoch
+            epoch_losses = []
+            for it in range(steps_per_epoch):
+                if self.occupancy is not None and global_step % 16 == 0:
+                    key, k = jax.random.split(key)
+                    self.occupancy = update_occupancy(
+                        self.state.params, self.static, self.occupancy, k,
+                        density_scale=cfg.density_scale,
+                        density_thresh=cfg.density_thresh,
+                    )
+                key, k1, k2 = jax.random.split(key, 3)
+                batch = provider.train_step_batch(k1)
+                aux = self._step_fn(batch, k2)
+                global_step += 1
+                if global_step % cfg.log_every == 0:
+                    loss = float(aux["loss"])
+                    epoch_losses.append(loss)
+                    extras = " ".join(
+                        f"{k}={float(v):.5f}" for k, v in aux.items() if k != "loss"
+                    )
+                    self.log(
+                        f"[train] epoch {epoch} step {global_step} "
+                        f"loss={loss:.5f} {extras} "
+                        f"({global_step / (time.time() - t_start):.2f} it/s)"
+                    )
+
+            if epoch_losses:
+                self.stats["loss"].append(float(np.mean(epoch_losses)))
+
+            self.ckpt.save(self.state, self.occupancy, epoch, self.stats)
+
+            if valid_provider is not None and epoch % cfg.eval_interval == 0:
+                results = self.evaluate(valid_provider)
+                metric = results.get("psnr_corrected", results.get("psnr", 0.0))
+                self.stats["psnr"].append(metric)
+                if metric > self.best_metric:
+                    self.best_metric = metric
+                    self.ckpt.save_best(self.state, self.occupancy, epoch, self.stats)
+        self.log(f"[train] done at epoch {self.epoch}, step {global_step}")
+
+    # ------------------------------------------------------------------ eval
+
+    def render_view(self, pose, intrinsics, H, W, params=None, ema=True):
+        """Full-image render -> (image [H, W, C], depth [H, W]) numpy."""
+        if params is None:
+            params = self.state.ema_params if ema else self.state.params
+        pose = jnp.asarray(pose, jnp.float32)
+        ro, rd = get_rays_full(pose, intrinsics, H, W)
+        if self.occupancy is not None:
+            out = render_rays_march(
+                params, self.static, self.occupancy.occ_bitfield, ro, rd,
+                num_samples=128, max_steps=1024, bg_color=1.0,
+                min_near=self.cfg.min_near, density_scale=self.cfg.density_scale,
+                dt_gamma=self.cfg.dt_gamma,
+            )
+        else:
+            out = render_rays_staged(
+                params, self.static, ro, rd,
+                max_ray_batch=self.cfg.max_ray_batch,
+                num_steps=self.cfg.num_steps,
+                upsample_steps=self.cfg.upsample_steps,
+                bg_color=1.0, perturb=False, train=False,
+                min_near=self.cfg.min_near, density_scale=self.cfg.density_scale,
+            )
+        C = self.static.out_dim_color
+        img = np.asarray(out["image"]).reshape(H, W, C)
+        depth = np.asarray(out["depth"]).reshape(H, W)
+        return img, depth
+
+    def evaluate(self, provider, save=True):
+        """Reference evaluate_one_epoch incl. event-only (a,b) correction."""
+        views = provider.val_views()
+        preds, gts, depths = [], [], []
+        for v in views:
+            img, depth = self.render_view(v["pose"], v["intrinsics"], v["H"], v["W"])
+            preds.append(img)
+            depths.append(depth)
+            gts.append(np.asarray(v["gt"]) if v.get("gt") is not None else None)
+
+        results = {}
+        have_gt = [i for i, g in enumerate(gts) if g is not None]
+        if have_gt:
+            psnrs = [M.psnr(preds[i], gts[i]) for i in have_gt]
+            ssims = [M.ssim(preds[i], gts[i]) for i in have_gt]
+            results["psnr"] = float(np.mean(psnrs))
+            results["ssim"] = float(np.mean(ssims))
+            la, lv = M.compute_lpips(preds[have_gt[0]], gts[have_gt[0]],
+                                     self.static.out_dim_color)
+            results["lpips_alex"] = la
+            results["lpips_vgg"] = lv
+
+        if self.cfg.event_only and have_gt:
+            # affine log correction over ALL val images (utils.py:1170-1265)
+            def to_log(im):
+                x = im
+                if self.static.out_dim_color == 3:
+                    x = np.asarray(rgb_to_luma(jnp.asarray(x)))
+                return np.log(255.0 * x + 1e-3)
+
+            p_logs = np.stack([to_log(preds[i]) for i in have_gt])
+            g_logs = np.stack([to_log(gts[i]) for i in have_gt])
+            a, b = M.solve_normal_equations(p_logs, g_logs)
+            results["affine_a"], results["affine_b"] = a, b
+            psnrs_c, ssims_c = [], []
+            for j, i in enumerate(have_gt):
+                pred_c = np.exp(p_logs[j] * a + b)
+                gt255 = np.exp(g_logs[j])
+                psnrs_c.append(M.psnr(pred_c, gt255, max_val=255.0))
+                ssims_c.append(M.ssim(pred_c[..., 0], gt255[..., 0], data_range=255.0))
+            results["psnr_corrected"] = float(np.mean(psnrs_c))
+            results["ssim_corrected"] = float(np.mean(ssims_c))
+
+        if save:
+            import cv2
+            vdir = os.path.join(self.workspace, "validation")
+            for sub in ("prediction", "depth", "gt"):
+                os.makedirs(os.path.join(vdir, sub), exist_ok=True)
+            for j, (p, d) in enumerate(zip(preds, depths)):
+                img8 = (np.clip(p, 0, 1) * 255).astype(np.uint8)
+                if img8.shape[-1] == 3:
+                    img8 = cv2.cvtColor(img8, cv2.COLOR_RGB2BGR)
+                cv2.imwrite(os.path.join(vdir, "prediction", f"ep{self.epoch:04d}_{j:04d}.png"), img8)
+                cv2.imwrite(os.path.join(vdir, "depth", f"ep{self.epoch:04d}_{j:04d}.png"),
+                            (np.clip(d, 0, 1) * 255).astype(np.uint8))
+                if gts[j] is not None:
+                    g8 = (np.clip(gts[j], 0, 1) * 255).astype(np.uint8)
+                    if g8.shape[-1] == 3:
+                        g8 = cv2.cvtColor(g8, cv2.COLOR_RGB2BGR)
+                    cv2.imwrite(os.path.join(vdir, "gt", f"{j:04d}.png"), g8)
+
+        self.log(f"[eval] epoch {self.epoch}: " +
+                 " ".join(f"{k}={v}" for k, v in results.items()))
+        return results
+
+    def test(self, provider, out_dir=None):
+        """Render test poses to disk (reference Trainer.test)."""
+        import cv2
+        out_dir = out_dir or os.path.join(self.workspace, "results")
+        os.makedirs(out_dir, exist_ok=True)
+        for j, v in enumerate(provider.test_views()):
+            img, depth = self.render_view(v["pose"], v["intrinsics"], v["H"], v["W"])
+            img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            if img8.shape[-1] == 3:
+                img8 = cv2.cvtColor(img8, cv2.COLOR_RGB2BGR)
+            cv2.imwrite(os.path.join(out_dir, f"{j:04d}.png"), img8)
+            cv2.imwrite(os.path.join(out_dir, f"{j:04d}_depth.png"),
+                        (np.clip(depth, 0, 1) * 255).astype(np.uint8))
+            np.save(os.path.join(out_dir, f"{j:04d}_raw.npy"), img)
+        self.log(f"[test] wrote renders to {out_dir}")
+
+    def save_mesh(self, path=None, resolution=256, threshold=10.0):
+        """Density isosurface export (reference save_mesh, utils.py:712-732)."""
+        from enerf_tpu.utils.mesh import extract_geometry, write_obj, write_ply
+        path = path or os.path.join(self.workspace, "meshes",
+                                    f"{self.cfg.expname}_ep{self.epoch:04d}.obj")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        b = self.static.bound
+        params = self.state.ema_params
+
+        def q(pts):
+            sigma, _ = field_density(params, self.static, jnp.asarray(pts))
+            return np.asarray(sigma)
+
+        verts, tris = extract_geometry(
+            [-b] * 3, [b] * 3, resolution, threshold, q
+        )
+        if path.endswith(".ply"):
+            write_ply(path, verts, tris)
+        else:
+            write_obj(path, verts, tris)
+        self.log(f"[mesh] {len(verts)} verts / {len(tris)} tris -> {path}")
+        return path

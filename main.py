@@ -1,0 +1,69 @@
+"""CLI entry point — the reference's main_nerf.py for the TPU framework.
+
+Usage (reference-compatible config files):
+  python main.py --config configs/spiral1_enerf.txt [--iters 30000 ...]
+  python main.py --mode synthetic --events 1 --event_only 1 --out_dim_color 1 \
+      --use_luma 0 --iters 2000            # in-process synthetic smoke run
+  python main.py --config ... --test      # render test views + mesh
+
+Parity: reference main_nerf.py:96-238 (config asserts, model factory,
+train/test dispatch, post-train test render + mesh export).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+# The axon TPU plugin ignores JAX_PLATFORMS; honor an explicit override so
+# CPU smoke runs don't grab the TPU tunnel.
+if os.environ.get("ENERF_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["ENERF_PLATFORM"])
+
+
+def get_select_frames(cfg):
+    """reference main_nerf.py:14-42."""
+    sf = {
+        "train_idxs": cfg.train_idxs,
+        "val_idxs": cfg.val_idxs,
+        "test_idxs": cfg.test_idxs or [0],
+        "exclude_idxs": cfg.exclude_idxs,
+    }
+    for k in ("train_idxs", "val_idxs", "test_idxs"):
+        if sf[k] is not None:
+            assert np.all(np.diff(sf[k]) > 0), f"{k} must be strictly increasing"
+            assert len(np.unique(sf[k])) == len(sf[k]), f"{k} must be unique"
+    return sf
+
+
+def main(argv=None):
+    from enerf_tpu.config import build_config
+    from enerf_tpu.data.provider import make_providers
+    from enerf_tpu.train.trainer import Trainer
+
+    cfg = build_config(argv)
+    select_frames = get_select_frames(cfg)
+
+    mesh = None
+    if cfg.mesh_shape:
+        from enerf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(int(np.prod(cfg.mesh_shape)))
+
+    trainer = Trainer(cfg, use_checkpoint=cfg.ckpt, mesh=mesh)
+    train_provider, val_provider = make_providers(cfg, select_frames)
+
+    if cfg.test:
+        trainer.test(val_provider)
+        trainer.save_mesh(resolution=256, threshold=10.0)
+        return
+
+    max_epoch = int(np.ceil(cfg.iters / train_provider.steps_per_epoch))
+    trainer.log(f"max epochs = {max_epoch}")
+    trainer.train(train_provider, val_provider, max_epoch)
+    trainer.test(val_provider)
+    trainer.save_mesh(resolution=256, threshold=10.0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
