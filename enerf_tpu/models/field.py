@@ -32,7 +32,23 @@ from enerf_tpu.ops.trunc_exp import trunc_exp
 
 
 class FieldStatic:
-    """Static field hyperparameters (jit-static, hashed by identity)."""
+    """Static field hyperparameters (jit-static, hashed by value so
+    identical configurations share jit caches across instances)."""
+
+    def _key(self):
+        return (
+            self.bound, self.num_layers, self.hidden_dim, self.geo_feat_dim,
+            self.num_layers_color, self.hidden_dim_color, self.sh_degree,
+            self.out_dim_color, self.disable_view_direction, self.bg_radius,
+            self.num_layers_bg, self.hidden_dim_bg, str(self.compute_dtype),
+            self.encoding, self.grid_meta,
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and self._key() == other._key()
 
     def __init__(
         self,

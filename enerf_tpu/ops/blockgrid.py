@@ -37,7 +37,22 @@ ROW_CELLS = HALO ** 3  # 125
 
 
 class BlockGridMeta:
-    """Static per-level constants for the block-packed grid (3D only)."""
+    """Static per-level constants for the block-packed grid (3D only).
+
+    Hashes by configuration value so identical metas share jit caches.
+    """
+
+    def _key(self):
+        return (
+            self.num_levels, self.level_dim, self.per_level_scale,
+            self.base_resolution, self.log2_hashmap_size,
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and self._key() == other._key()
 
     def __init__(
         self,

@@ -36,7 +36,22 @@ class HashGridMeta:
 
     Mirrors the layout computed by the reference GridEncoder.__init__
     (gridencoder/grid.py:113-126) so parameter tables are interchangeable.
+    Hashes by configuration value so separately-constructed but identical
+    metas share jit caches.
     """
+
+    def _key(self):
+        return (
+            self.input_dim, self.num_levels, self.level_dim,
+            self.per_level_scale, self.base_resolution,
+            self.log2_hashmap_size, self.gridtype,
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and self._key() == other._key()
 
     def __init__(
         self,

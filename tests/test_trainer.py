@@ -91,10 +91,11 @@ def test_trainer_occupancy_path(tmp_path):
 def test_cli_smoke(tmp_path):
     import main as cli
 
+    # sizes match test_trainer_frames_end_to_end so jit caches are shared
     cli.main([
         "--mode", "synthetic", "--outdir", str(tmp_path), "--H", "24", "--W",
-        "24", "--num_rays", "64", "--batch_size_evs", "64", "--num_steps",
-        "16", "--iters", "20", "--lr", "0.01", "--out_dim_color", "3",
+        "24", "--num_rays", "128", "--batch_size_evs", "128", "--num_steps",
+        "24", "--iters", "20", "--lr", "0.01", "--out_dim_color", "3",
         "--eval_interval", "5", "--expname", "cli_smoke",
     ])
     ws = os.path.join(str(tmp_path), "testweek", "cli_smoke")
