@@ -70,6 +70,10 @@ class EventSlicer:
         t_start_ms = max(t_start_ms, 0)
         lo = self.ms2idx(t_start_ms)
         hi = self.ms2idx(t_end_ms)
+        if hi is None and t_end_ms >= self.ms_to_idx.size:
+            # conservative upper bound past the table: all remaining events
+            # (robustness over the reference, which returns None here)
+            hi = int(self.events["t"].shape[0])
         if lo is None or hi is None:
             return None
 

@@ -261,13 +261,15 @@ class EventProvider:
                  batch_size_evs=4096, accumulate_evs=False, acc_max_num_evs=0,
                  frames=None, frame_poses=None, num_rays=4096,
                  event_frame_ids=None, n_frames=1, steps_per_epoch=100,
-                 precompute_evs_poses=True):
+                 precompute_evs_poses=True, intrinsics_evs=None):
         self.chains, ev_ts_sorted = build_event_chains(
             events, event_frame_ids, n_frames
         )
         interp = make_pose_interpolator(hf_ts, hf_poses)
         self.poses_evs = jnp.asarray(interp(ev_ts_sorted))  # [M, 3, 4]
         self.intrinsics = intrinsics
+        # stereo rigs (tumvie/eds): event camera has its own intrinsics
+        self.intrinsics_evs = intrinsics_evs or intrinsics
         self.H, self.W = H, W
         self.batch_size_evs = batch_size_evs
         self.accumulate_evs = accumulate_evs
@@ -282,6 +284,8 @@ class EventProvider:
             self.frame_poses = jnp.asarray(frame_poses, jnp.float32)
             self._frames_np = frames
             self.train_poses = np.asarray(frame_poses)
+            # frame camera may differ from the event camera (tumvie rigs)
+            self.frame_H, self.frame_W = frames.shape[1:3]
 
     def train_step_batch(self, key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -294,13 +298,14 @@ class EventProvider:
         ys = self.chains.ys[samp["idx_start"]]
         rays = get_event_rays(
             xs, ys, self.poses_evs[samp["idx_start"]],
-            self.poses_evs[samp["idx_end"]], self.intrinsics,
+            self.poses_evs[samp["idx_end"]], self.intrinsics_evs,
         )
         batch = dict(rays, pols=samp["pols"])
         if self.frames is not None:
             fi = jax.random.randint(k3, (), 0, self.frame_poses.shape[0])
             frays = get_rays_sampled(
-                k4, self.frame_poses[fi], self.intrinsics, self.H, self.W, self.num_rays
+                k4, self.frame_poses[fi], self.intrinsics,
+                self.frame_H, self.frame_W, self.num_rays
             )
             batch["rays_o"] = frays["rays_o"]
             batch["rays_d"] = frays["rays_d"]
@@ -314,8 +319,8 @@ class EventProvider:
             {
                 "pose": np.asarray(self.frame_poses[i]),
                 "intrinsics": self.intrinsics,
-                "H": self.H,
-                "W": self.W,
+                "H": self.frame_H,
+                "W": self.frame_W,
                 "gt": self._frames_np[i],
             }
             for i in range(len(self._frames_np))
@@ -384,4 +389,47 @@ def make_providers(cfg, select_frames=None):
             )
         return train, val
 
-    raise NotImplementedError(f"mode {cfg.mode} (tumvie/eds land in data/tumvie.py, data/eds.py)")
+    if cfg.mode in ("tumvie", "eds"):
+        if cfg.mode == "tumvie":
+            from enerf_tpu.data.tumvie import load_tumvie_dataset
+            data = load_tumvie_dataset(
+                cfg.datadir, scale=cfg.scale, out_dim_color=cfg.out_dim_color,
+                downscale=cfg.downscale,
+                pp_poses_sphere=bool(cfg.pp_poses_sphere),
+                hotpixs=bool(cfg.hotpixs),
+                select_idxs=(select_frames or {}).get("train_idxs"),
+            )
+        else:
+            from enerf_tpu.data.eds import load_eds_dataset
+            data = load_eds_dataset(
+                cfg.datadir, scale=cfg.scale, out_dim_color=cfg.out_dim_color,
+                downscale=cfg.downscale, hotpixs=bool(cfg.hotpixs),
+                select_idxs=(select_frames or {}).get("train_idxs"),
+            )
+        val = FramesProvider(
+            data["images"], data["poses"], data["intrinsics"],
+            num_rays=cfg.num_rays,
+        )
+        if cfg.events:
+            train = EventProvider(
+                data["events"], data["hf_ts"], data["hf_poses"],
+                data["intrinsics"], data["H_ev"], data["W_ev"],
+                batch_size_evs=cfg.batch_size_evs,
+                accumulate_evs=bool(cfg.accumulate_evs),
+                acc_max_num_evs=cfg.acc_max_num_evs,
+                frames=None if cfg.event_only else data["images"],
+                frame_poses=None if cfg.event_only else data["poses"],
+                num_rays=cfg.num_rays,
+                event_frame_ids=data["event_frame_ids"],
+                n_frames=int(data["event_frame_ids"].max()) + 1
+                if len(data["event_frame_ids"]) else 1,
+                intrinsics_evs=data["intrinsics_evs"],
+            )
+        else:
+            train = FramesProvider(
+                data["images"], data["poses"], data["intrinsics"],
+                num_rays=cfg.num_rays,
+            )
+        return train, val
+
+    raise NotImplementedError(f"unknown dataset mode: {cfg.mode}")

@@ -1,0 +1,77 @@
+"""Diagnostic visualizations: event accumulation images, pose plots.
+
+Parity: reference utils/plot_utils.py — render_ev_accumulation (:13),
+pose visualizers / workspace diagnostic dumps (plotting_poses_bounds :652,
+plotting_poses_hf :573, plotting_poses_evs :486).  Matplotlib renders to
+files (headless), never to a display.
+"""
+
+import os
+
+import numpy as np
+
+
+def render_ev_accumulation(xs, ys, pols, H, W):
+    """Accumulate events into a BGR visualization image.
+
+    Positive events red, negative blue on white (the standard DVS
+    rendering; reference plot_utils.py:13).
+    Returns [H, W, 3] uint8.
+    """
+    img = np.full((H, W, 3), 255, np.uint8)
+    xs = np.clip(np.asarray(xs).astype(np.int64), 0, W - 1)
+    ys = np.clip(np.asarray(ys).astype(np.int64), 0, H - 1)
+    pols = np.asarray(pols)
+    pos = pols > 0
+    img[ys[pos], xs[pos]] = (0, 0, 255)
+    img[ys[~pos], xs[~pos]] = (255, 0, 0)
+    return img
+
+
+def event_histogram(xs, ys, pols, H, W):
+    """Signed event-count histogram [H, W] (sum of polarities per pixel)."""
+    flat = np.clip(ys.astype(np.int64), 0, H - 1) * W + np.clip(
+        xs.astype(np.int64), 0, W - 1
+    )
+    return np.bincount(flat, weights=np.asarray(pols, np.float64),
+                       minlength=H * W).reshape(H, W)
+
+
+def plot_poses(path, poses, ts=None, title="poses", axis_len=0.1, stride=1):
+    """3D pose (camera frustum axes) plot written to `path` (png)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    poses = np.asarray(poses)[::stride]
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    for p in poses:
+        o = p[:3, 3]
+        for k, c in zip(range(3), "rgb"):
+            d = p[:3, k] * axis_len
+            ax.plot([o[0], o[0] + d[0]], [o[1], o[1] + d[1]], [o[2], o[2] + d[2]], c)
+    ax.scatter(poses[:, 0, 3], poses[:, 1, 3], poses[:, 2, 3], s=2, c="k")
+    ax.set_title(title)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return path
+
+
+def plot_trajectory_timeline(path, ts, poses, title="trajectory"):
+    """Per-axis translation curves over time written to `path` (png)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    poses = np.asarray(poses)
+    fig, axes = plt.subplots(3, 1, figsize=(10, 6), sharex=True)
+    for k, (axx, lbl) in enumerate(zip(axes, "xyz")):
+        axx.plot(ts, poses[:, k, 3])
+        axx.set_ylabel(lbl)
+    axes[0].set_title(title)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return path

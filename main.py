@@ -53,6 +53,16 @@ def main(argv=None):
     trainer = Trainer(cfg, use_checkpoint=cfg.ckpt, mesh=mesh)
     train_provider, val_provider = make_providers(cfg, select_frames)
 
+    if cfg.gui:
+        from enerf_tpu.viewer import GUIRenderer, serve_web_viewer
+        gui = GUIRenderer(
+            trainer, provider=None if cfg.test else train_provider,
+            W=cfg.W, H=cfg.H, radius=cfg.radius, fovy=cfg.fovy,
+            max_spp=cfg.max_spp,
+        )
+        serve_web_viewer(gui)
+        return
+
     if cfg.test:
         trainer.test(val_provider)
         trainer.save_mesh(resolution=256, threshold=10.0)
