@@ -206,10 +206,11 @@ def save_esim_dataset(data, datadir, scale=0.33):
 
 
 class FramesProvider:
-    """Frame-supervision provider (reference NeRFDataset)."""
+    """Frame-supervision provider (reference NeRFDataset), with optional
+    error-map-weighted pixel sampling (utils.py:134-156, 611-632)."""
 
     def __init__(self, images, poses, intrinsics, num_rays=4096,
-                 steps_per_epoch=100, val_fraction_last=None):
+                 steps_per_epoch=100, error_map=False):
         self.images = jnp.asarray(images.reshape(images.shape[0], -1, images.shape[-1]))
         self.poses = jnp.asarray(poses, jnp.float32)
         self.train_poses = np.asarray(poses)
@@ -218,18 +219,36 @@ class FramesProvider:
         self.num_rays = num_rays
         self.steps_per_epoch = steps_per_epoch
         self._images_np = images
+        self.error_map = (
+            jnp.ones((images.shape[0], 128 * 128)) if error_map else None
+        )
 
     def train_step_batch(self, key):
         k1, k2 = jax.random.split(key)
         fi = jax.random.randint(k1, (), 0, self.poses.shape[0])
+        emap = None if self.error_map is None else self.error_map[fi]
         rays = get_rays_sampled(
-            k2, self.poses[fi], self.intrinsics, self.H, self.W, self.num_rays
+            k2, self.poses[fi], self.intrinsics, self.H, self.W, self.num_rays,
+            error_map=emap,
         )
-        return {
+        batch = {
             "rays_o": rays["rays_o"],
             "rays_d": rays["rays_d"],
             "images": self.images[fi][rays["inds"]],
         }
+        if self.error_map is not None:
+            self._last_fi = fi
+            self._last_inds_coarse = rays["inds_coarse"]
+        return batch
+
+    def update_error_map(self, per_ray_loss):
+        """EMA update at the last sampled coarse indices (utils.py:625-632)."""
+        if self.error_map is None:
+            return
+        fi, inds = self._last_fi, self._last_inds_coarse
+        old = self.error_map[fi, inds]
+        new = 0.1 * old + 0.9 * per_ray_loss
+        self.error_map = self.error_map.at[fi, inds].set(new)
 
     def _views(self, idxs):
         return [
@@ -261,12 +280,41 @@ class EventProvider:
                  batch_size_evs=4096, accumulate_evs=False, acc_max_num_evs=0,
                  frames=None, frame_poses=None, num_rays=4096,
                  event_frame_ids=None, n_frames=1, steps_per_epoch=100,
-                 precompute_evs_poses=True, intrinsics_evs=None):
+                 precompute_evs_poses=True, intrinsics_evs=None,
+                 negative_event_sampling=False, noev_chunk_frac=0.05):
         self.chains, ev_ts_sorted = build_event_chains(
             events, event_frame_ids, n_frames
         )
         interp = make_pose_interpolator(hf_ts, hf_poses)
+        self._interp = interp
         self.poses_evs = jnp.asarray(interp(ev_ts_sorted))  # [M, 3, 4]
+
+        # negative (no-event) sampling: per time chunk, the pixels with no
+        # events in that chunk (reference provider.py:1281-1351, 1443-1486)
+        self.no_evs = None
+        if negative_event_sampling and len(events):
+            ev = np.asarray(events)
+            t0, t1 = float(ev[:, 2].min()), float(ev[:, 2].max())
+            n_chunks = max(int(1.0 / noev_chunk_frac), 1)
+            edges = np.linspace(t0, t1, n_chunks + 1)
+            chunk_of = np.clip(
+                np.searchsorted(edges, ev[:, 2], side="right") - 1, 0, n_chunks - 1
+            )
+            self.no_evs = []
+            all_pix = np.stack(
+                np.meshgrid(np.arange(W), np.arange(H), indexing="xy"), -1
+            ).reshape(-1, 2)
+            for j in range(n_chunks):
+                m = chunk_of == j
+                has = np.zeros(H * W, bool)
+                pix = (ev[m, 1].astype(np.int64) * W + ev[m, 0].astype(np.int64))
+                has[np.clip(pix, 0, H * W - 1)] = True
+                coords = all_pix[~has]
+                if len(coords):
+                    self.no_evs.append(
+                        {"coords": coords.astype(np.float32),
+                         "t0": edges[j], "t1": edges[j + 1]}
+                    )
         self.intrinsics = intrinsics
         # stereo rigs (tumvie/eds): event camera has its own intrinsics
         self.intrinsics_evs = intrinsics_evs or intrinsics
@@ -301,6 +349,28 @@ class EventProvider:
             self.poses_evs[samp["idx_end"]], self.intrinsics_evs,
         )
         batch = dict(rays, pols=samp["pols"])
+        if self.no_evs and getattr(self, "use_no_ev", True):
+            import numpy as _np
+            k5, k6 = jax.random.split(jax.random.fold_in(key, 7))
+            rng = _np.random.default_rng(int(jax.random.randint(k5, (), 0, 2 ** 31 - 1)))
+            j = rng.integers(0, len(self.no_evs))
+            chunk = self.no_evs[j]
+            n_no = self.batch_size_evs // 2
+            sel = rng.integers(0, len(chunk["coords"]), n_no)
+            xyno = chunk["coords"][sel]
+            tt = _np.sort(
+                rng.uniform(chunk["t0"], chunk["t1"], (n_no, 2)), axis=1
+            )
+            p1 = jnp.asarray(self._interp(tt[:, 0]))
+            p2 = jnp.asarray(self._interp(tt[:, 1]))
+            nrays = get_event_rays(
+                jnp.asarray(xyno[:, 0]), jnp.asarray(xyno[:, 1]),
+                p1, p2, self.intrinsics_evs,
+            )
+            batch["rays_no_evs_o1"] = nrays["rays_evs_o1"]
+            batch["rays_no_evs_d1"] = nrays["rays_evs_d1"]
+            batch["rays_no_evs_o2"] = nrays["rays_evs_o2"]
+            batch["rays_no_evs_d2"] = nrays["rays_evs_d2"]
         if self.frames is not None:
             fi = jax.random.randint(k3, (), 0, self.frame_poses.shape[0])
             frays = get_rays_sampled(
@@ -349,10 +419,12 @@ def make_providers(cfg, select_frames=None):
                 frames=None if cfg.event_only else images,
                 frame_poses=None if cfg.event_only else data["poses"],
                 num_rays=cfg.num_rays,
+                negative_event_sampling=bool(cfg.negative_event_sampling),
             )
         else:
             train = FramesProvider(images, data["poses"], data["intrinsics"],
-                                   num_rays=cfg.num_rays)
+                                   num_rays=cfg.num_rays,
+                                   error_map=bool(cfg.error_map))
         return train, val
 
     if cfg.mode == "esim":
@@ -381,11 +453,13 @@ def make_providers(cfg, select_frames=None):
                 frames=None if cfg.event_only else data["images"][tr_idx],
                 frame_poses=None if cfg.event_only else data["poses"][tr_idx],
                 num_rays=cfg.num_rays,
+                negative_event_sampling=bool(cfg.negative_event_sampling),
             )
         else:
             train = FramesProvider(
                 data["images"][tr_idx], data["poses"][tr_idx],
                 data["intrinsics"], num_rays=cfg.num_rays,
+                error_map=bool(cfg.error_map),
             )
         return train, val
 

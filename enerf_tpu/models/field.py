@@ -41,7 +41,7 @@ class FieldStatic:
             self.num_layers_color, self.hidden_dim_color, self.sh_degree,
             self.out_dim_color, self.disable_view_direction, self.bg_radius,
             self.num_layers_bg, self.hidden_dim_bg, str(self.compute_dtype),
-            self.encoding, self.grid_meta,
+            self.encoding, self.grid_meta, self.use_fused_head,
         )
 
     def __hash__(self):
@@ -71,8 +71,10 @@ class FieldStatic:
         gridtype="hash",
         encoding="hashgrid",  # 'hashgrid' (exact reference parity) or
                               # 'blockgrid' (TPU-fast block-packed rows)
+        use_fused_head=False,  # Pallas fused sigma+color head (--ff role)
         compute_dtype=jnp.float32,
     ):
+        self.use_fused_head = use_fused_head
         self.bound = float(bound)
         self.num_layers = num_layers
         self.hidden_dim = hidden_dim
@@ -218,6 +220,34 @@ def field_forward(params, static, x, d):
     sigma, geo_feat = field_density(params, static, x)
     color = field_color(params, static, d, geo_feat)
     return sigma, color
+
+
+def field_forward_fused(params, static, x, d):
+    """Fused-MLP head variant (the reference's --ff backbone,
+    network_ff.py): hash encoding feeds one Pallas kernel computing the
+    whole sigma+color head.  Requires the default 2/3-layer topology."""
+    from enerf_tpu.ops.fused_mlp import fused_field_head
+
+    assert static.num_layers == 2 and static.num_layers_color == 3, (
+        "fused head supports the reference topology (2 sigma / 3 color layers)"
+    )
+    x01 = (x + static.bound) / (2.0 * static.bound)
+    table = params["hash_table"]
+    cd = static.compute_dtype
+    if cd == jnp.bfloat16:
+        table = table.astype(jnp.bfloat16)
+    if static.encoding == "blockgrid":
+        enc = block_encode(x01, table, static.grid_meta)
+    else:
+        enc = hash_encode(x01, table, static.grid_meta)
+    denc = _dir_encode(static, d)
+    sigma, rgb = fused_field_head(
+        enc.astype(cd), denc.astype(cd),
+        params["sigma_w0"].astype(cd), params["sigma_w1"].astype(cd),
+        params["color_w0"].astype(cd), params["color_w1"].astype(cd),
+        params["color_w2"].astype(cd),
+    )
+    return sigma, rgb
 
 
 def field_background(params, static, polar, d):

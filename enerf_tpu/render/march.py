@@ -166,9 +166,15 @@ def render_rays_march(
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
     xyzs = jnp.clip(xyzs, -bound, bound)
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
-    sigmas, rgbs = field_forward(
-        params, static, xyzs.reshape(-1, 3), dirs.reshape(-1, 3)
-    )
+    if getattr(static, "use_fused_head", False):
+        from enerf_tpu.models.field import field_forward_fused
+        sigmas, rgbs = field_forward_fused(
+            params, static, xyzs.reshape(-1, 3), dirs.reshape(-1, 3)
+        )
+    else:
+        sigmas, rgbs = field_forward(
+            params, static, xyzs.reshape(-1, 3), dirs.reshape(-1, 3)
+        )
     C = rgbs.shape[-1]
     sigmas = jnp.where(valid, sigmas.reshape(N, num_samples), 0.0)
     rgbs = rgbs.reshape(N, num_samples, C)

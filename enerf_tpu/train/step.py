@@ -60,8 +60,10 @@ def frames_loss_fn(params, ss, batch, rng):
     else:
         gt = images
     out = _render(params, ss, batch["rays_o"], batch["rays_d"], bg, k_r)
-    loss = jnp.mean((out["image"] - gt) ** 2)
-    return loss, {"loss_frames": loss, "pred": out["image"], "gt": gt}
+    per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)  # [N]
+    loss = jnp.mean(per_ray)
+    return loss, {"loss_frames": loss, "pred": out["image"], "gt": gt,
+                  "per_ray_loss": per_ray}
 
 
 def event_loss_fn(params, ss, batch, rng):
@@ -113,7 +115,8 @@ def train_step_frames(state, batch, rng, ss, opt):
         state.params, ss, batch, rng
     )
     new_state = apply_updates(state, grads, opt)
-    return new_state, {"loss": loss, "loss_frames": aux["loss_frames"]}
+    return new_state, {"loss": loss, "loss_frames": aux["loss_frames"],
+                       "per_ray_loss": aux["per_ray_loss"]}
 
 
 @functools.partial(jax.jit, static_argnames=("ss", "opt"), donate_argnums=(0,))

@@ -55,6 +55,7 @@ class Trainer:
             disable_view_direction=bool(cfg.disable_view_direction),
             bg_radius=cfg.bg_radius,
             encoding="blockgrid" if use_fast else "hashgrid",
+            use_fused_head=use_fast and bool(cfg.cuda_ray),
             compute_dtype=compute_dtype,
         )
         self.ss = StepStatics(
@@ -93,6 +94,14 @@ class Trainer:
         self.epoch = 0
         self.best_metric = -np.inf
         self.stats = {"loss": [], "psnr": []}
+
+        # tensorboard scalars (reference tensorboardX usage, utils.py:975-989)
+        self.writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.writer = SummaryWriter(os.path.join(self.workspace, "tb"))
+        except Exception:
+            pass
 
         if use_checkpoint and use_checkpoint != "scratch":
             path = self.ckpt.resolve(use_checkpoint)
@@ -150,6 +159,9 @@ class Trainer:
 
         for epoch in range(self.epoch + 1, max_epoch + 1):
             self.epoch = epoch
+            # no-event loss epoch gate (reference utils.py:548)
+            if hasattr(provider, "no_evs"):
+                provider.use_no_ev = epoch > cfg.epoch_start_noEvLoss
             epoch_losses = []
             for it in range(steps_per_epoch):
                 if self.occupancy is not None and global_step % 16 == 0:
@@ -162,18 +174,26 @@ class Trainer:
                 key, k1, k2 = jax.random.split(key, 3)
                 batch = provider.train_step_batch(k1)
                 aux = self._step_fn(batch, k2)
+                if cfg.error_map and hasattr(provider, "update_error_map") and \
+                        "per_ray_loss" in aux:
+                    provider.update_error_map(aux["per_ray_loss"])
                 global_step += 1
                 if global_step % cfg.log_every == 0:
                     loss = float(aux["loss"])
                     epoch_losses.append(loss)
                     extras = " ".join(
-                        f"{k}={float(v):.5f}" for k, v in aux.items() if k != "loss"
+                        f"{k}={float(v):.5f}" for k, v in aux.items()
+                        if k != "loss" and np.ndim(v) == 0
                     )
                     self.log(
                         f"[train] epoch {epoch} step {global_step} "
                         f"loss={loss:.5f} {extras} "
                         f"({global_step / (time.time() - t_start):.2f} it/s)"
                     )
+                    if self.writer is not None:
+                        for k2n, v in aux.items():
+                            if np.ndim(v) == 0:
+                                self.writer.add_scalar(f"train/{k2n}", float(v), global_step)
 
             if epoch_losses:
                 self.stats["loss"].append(float(np.mean(epoch_losses)))
@@ -281,6 +301,10 @@ class Trainer:
 
         self.log(f"[eval] epoch {self.epoch}: " +
                  " ".join(f"{k}={v}" for k, v in results.items()))
+        if self.writer is not None:
+            for k, v in results.items():
+                if v is not None and np.ndim(v) == 0:
+                    self.writer.add_scalar(f"eval/{k}", float(v), int(self.state.step))
         return results
 
     def test(self, provider, out_dir=None):

@@ -1,0 +1,76 @@
+"""Error-map sampling, negative event sampling, tensorboard, CLIP gate."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from enerf_tpu.data import synthetic
+from enerf_tpu.data.provider import EventProvider, FramesProvider
+
+
+def test_error_map_sampling_and_update():
+    imgs = np.random.default_rng(0).uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    poses = np.stack([synthetic.circle_pose(t) for t in [0.0, 0.2]])
+    prov = FramesProvider(imgs, poses, synthetic.default_intrinsics(16, 16),
+                          num_rays=64, error_map=True)
+    assert prov.error_map.shape == (2, 128 * 128)
+    b = prov.train_step_batch(jax.random.PRNGKey(0))
+    assert b["rays_o"].shape == (64, 3)
+    before = np.asarray(prov.error_map).copy()
+    prov.update_error_map(jnp.full((64,), 5.0))
+    after = np.asarray(prov.error_map)
+    changed = (after != before).sum()
+    assert changed > 0
+    assert after.max() > before.max()  # high loss raises sampling weight
+
+
+def test_negative_event_sampling_batches():
+    data = synthetic.simulate_events(H=32, W=32, n_frames=20, C=0.12, turns=0.4)
+    prov = EventProvider(
+        data["events"], data["frame_ts"], data["poses"], data["intrinsics"],
+        32, 32, batch_size_evs=64, negative_event_sampling=True,
+    )
+    assert prov.no_evs, "no no-event chunks built"
+    b = prov.train_step_batch(jax.random.PRNGKey(1))
+    for k in ("rays_no_evs_o1", "rays_no_evs_d1", "rays_no_evs_o2", "rays_no_evs_d2"):
+        assert k in b and b[k].shape == (32, 3)
+    # epoch gating switch
+    prov.use_no_ev = False
+    b2 = prov.train_step_batch(jax.random.PRNGKey(2))
+    assert "rays_no_evs_o1" not in b2
+
+
+def test_no_event_loss_in_train_step(tmp_path):
+    from enerf_tpu.models.field import FieldStatic, init_field_params
+    from enerf_tpu.train.state import init_train_state
+    from enerf_tpu.train.step import StepStatics, train_step_events
+
+    data = synthetic.simulate_events(H=32, W=32, n_frames=20, C=0.12, turns=0.4)
+    prov = EventProvider(
+        data["events"], data["frame_ts"], data["poses"], data["intrinsics"],
+        32, 32, batch_size_evs=64, negative_event_sampling=True,
+    )
+    static = FieldStatic(bound=1.0, out_dim_color=1, num_levels=4, log2_hashmap_size=10)
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    state, opt = init_train_state(params, 1e-2, 100)
+    ss = StepStatics(
+        field_static=static, num_steps=16, upsample_steps=0, min_near=0.2,
+        density_scale=1.0, C_thres=0.12, event_only=True, use_luma=False,
+        linlog=True, weight_loss_rgb=1.0, negative_event_sampling=True,
+        w_no_ev=1.0, out_dim_color=1,
+    )
+    b = prov.train_step_batch(jax.random.PRNGKey(1))
+    state, aux = train_step_events(state, b, jax.random.PRNGKey(2), ss, opt)
+    assert "loss_no_evs" in aux and np.isfinite(float(aux["loss_no_evs"]))
+
+
+def test_clip_gate():
+    from enerf_tpu.train.clip_guidance import clip_available, CLIPLoss
+    if clip_available():
+        CLIPLoss("a photo")  # exercised only when weights exist
+    else:
+        import pytest
+        with pytest.raises(ImportError):
+            CLIPLoss("a photo")
