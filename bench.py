@@ -38,8 +38,14 @@ def main():
     params = init_field_params(jax.random.PRNGKey(0), static)
     state, opt = init_train_state(params, lr0=1e-2, iters=10000)
     occ = init_occupancy(1.0)
-    # a realistic half-occupied grid (trained scenes are mostly empty)
-    occ = update_occupancy(params, static, occ, jax.random.PRNGKey(5))
+    # realistic trained-scene occupancy: a ball covering ~6% of the grid
+    import numpy as np
+    from enerf_tpu.render.occupancy import GRID_SIZE
+    g = np.arange(GRID_SIZE)
+    xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
+    centers = 2.0 * np.stack([xs, ys, zs], -1) / (GRID_SIZE - 1) - 1.0
+    ball = np.linalg.norm(centers, axis=-1) < 0.48
+    occ = occ._replace(occ_bitfield=jnp.asarray(ball.reshape(1, -1)))
 
     key = jax.random.PRNGKey(1)
     d = jax.random.normal(key, (n_rays, 3))
@@ -53,10 +59,12 @@ def main():
         out1 = render_rays_march(
             params, static, bitfield, o, d, num_samples=num_samples,
             max_steps=max_steps, bg_color=bg, perturb=True, rng=k1,
+            compact_frac=0.25,
         )
         out2 = render_rays_march(
             params, static, bitfield, o + 0.01, d, num_samples=num_samples,
             max_steps=max_steps, bg_color=bg, perturb=True, rng=k2,
+            compact_frac=0.25,
         )
         ll1 = losses.log_intensity(out1["image"], use_luma=False)
         ll2 = losses.log_intensity(out2["image"], use_luma=False)

@@ -40,6 +40,9 @@ def _mip_from_val(v, cascades):
     return jnp.clip(exp, 0, cascades - 1).astype(jnp.int32)
 
 
+SUPER = 4  # cells per superblock dim (two-level empty-space skip)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_samples", "max_steps", "cascades", "bound",
@@ -48,7 +51,7 @@ def _mip_from_val(v, cascades):
 def march_rays(
     rays_o, rays_d, occ_bitfield, nears, fars, rng,
     *, num_samples=64, max_steps=1024, cascades=1, bound=1.0,
-    dt_gamma=0.0, perturb=False, skip_iters=12,
+    dt_gamma=0.0, perturb=False, skip_iters=8,
 ):
     """March N rays through the occupancy grid.
 
@@ -59,14 +62,24 @@ def march_rays(
     Returns:
       ts: [N, S] sample distances; dts: [N, S] step sizes;
       valid: [N, S] bool.
+
+    A coarse 32^3 "superblock" mask (any-occupied over 4^3 cells) lets the
+    DDA skip whole superblocks in one jump — the TPU analogue of the mips
+    the VDB/hierarchical-traversal literature uses; each lookup is a batched
+    gather, and empty space costs ~4x fewer sequential gathers.
     """
     H = GRID_SIZE
+    HS = H // SUPER
     N = rays_o.shape[0]
     dt_min = 2.0 * SQRT3 / max_steps
     dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / H
 
     inv_d = 1.0 / rays_d
     occ_flat = occ_bitfield.reshape(-1)
+    cas = occ_bitfield.shape[0]
+    occ_super = occ_bitfield.reshape(cas, HS, SUPER, HS, SUPER, HS, SUPER).any(
+        axis=(2, 4, 6)
+    ).reshape(-1)  # [CAS * HS^3]
 
     t0 = nears
     if perturb:
@@ -90,14 +103,28 @@ def march_rays(
             lvl * (H * H * H)
             + nxyz[:, 0] * (H * H) + nxyz[:, 1] * H + nxyz[:, 2]
         )
-        occ = occ_flat[cell]
-        # DDA distance to next voxel boundary (raymarching.cu:389-396)
-        nb = (
-            ((nxyz.astype(jnp.float32) + 0.5 + 0.5 * jnp.sign(rays_d))
-             / (H - 1) * 2.0 - 1.0) * mip_bound[:, None]
-            - pos
-        ) * inv_d
-        tt = t + jnp.maximum(0.0, jnp.min(nb, axis=-1))
+        sxyz = nxyz // SUPER
+        scell = (
+            lvl * (HS * HS * HS)
+            + sxyz[:, 0] * (HS * HS) + sxyz[:, 1] * HS + sxyz[:, 2]
+        )
+        occ_s = occ_super[scell]
+        occ = occ_s & occ_flat[cell]
+
+        def boundary(nc, grid_h, block):
+            # DDA distance to the next (super)voxel boundary
+            # (raymarching.cu:389-396 scaled by the block size)
+            nb = (
+                ((nc.astype(jnp.float32) * block + 0.5 * block
+                  + 0.5 * block * jnp.sign(rays_d))
+                 / (H - 1) * 2.0 - 1.0) * mip_bound[:, None]
+                - pos
+            ) * inv_d
+            return t + jnp.maximum(0.0, jnp.min(nb, axis=-1))
+
+        tt_cell = boundary(nxyz, H, 1)
+        tt_super = boundary(sxyz, HS, SUPER)
+        tt = jnp.where(occ_s, tt_cell, tt_super)
         return occ, dt, tt
 
     def sample_slot(carry, _):
@@ -138,14 +165,23 @@ def march_rays(
 @functools.partial(
     jax.jit,
     static_argnames=("static", "num_samples", "max_steps", "perturb",
-                     "min_near", "density_scale", "dt_gamma"),
+                     "min_near", "density_scale", "dt_gamma", "compact_frac"),
 )
 def render_rays_march(
     params, static, occ_bitfield, rays_o, rays_d,
     *, num_samples=64, max_steps=1024, bg_color=1.0, perturb=False,
     rng=None, min_near=0.2, density_scale=1.0, dt_gamma=0.0,
+    compact_frac=None,
 ):
     """Occupancy-march render (the reference's cuda_ray path, TPU-native).
+
+    compact_frac: if set (e.g. 0.25), the field is evaluated only on a
+    compacted buffer of ceil(N*S*frac) samples — the TPU analogue of the
+    reference's atomicAdd stream compaction with mean_count capping
+    (raymarching.py:196-227): invalid lanes are squeezed out by a stable
+    sort on the validity mask, and results are gathered back by rank.
+    Valid samples beyond the budget are dropped (capped) like the
+    reference when M exceeds the preallocated buffer.
 
     Returns dict(image=[N, C], depth=[N], weights_sum=[N]).
     """
@@ -166,18 +202,34 @@ def render_rays_march(
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
     xyzs = jnp.clip(xyzs, -bound, bound)
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+
     if getattr(static, "use_fused_head", False):
-        from enerf_tpu.models.field import field_forward_fused
-        sigmas, rgbs = field_forward_fused(
-            params, static, xyzs.reshape(-1, 3), dirs.reshape(-1, 3)
-        )
+        from enerf_tpu.models.field import field_forward_fused as _field
     else:
-        sigmas, rgbs = field_forward(
+        _field = field_forward
+
+    if compact_frac is not None:
+        NS = N * num_samples
+        B = max(int(NS * compact_frac), 1)
+        vflat = valid.reshape(-1)
+        order = jnp.argsort(~vflat, stable=True)  # valid lanes first
+        src = order[:B]
+        sig_c, rgb_c = _field(
+            params, static, xyzs.reshape(-1, 3)[src], dirs.reshape(-1, 3)[src]
+        )
+        C = rgb_c.shape[-1]
+        rank = jnp.cumsum(vflat) - 1
+        ok = vflat & (rank < B)
+        r = jnp.clip(rank, 0, B - 1)
+        sigmas = jnp.where(ok, sig_c[r], 0.0).reshape(N, num_samples)
+        rgbs = jnp.where(ok[:, None], rgb_c[r], 0.0).reshape(N, num_samples, C)
+    else:
+        sigmas, rgbs = _field(
             params, static, xyzs.reshape(-1, 3), dirs.reshape(-1, 3)
         )
-    C = rgbs.shape[-1]
-    sigmas = jnp.where(valid, sigmas.reshape(N, num_samples), 0.0)
-    rgbs = rgbs.reshape(N, num_samples, C)
+        C = rgbs.shape[-1]
+        sigmas = jnp.where(valid, sigmas.reshape(N, num_samples), 0.0)
+        rgbs = rgbs.reshape(N, num_samples, C)
 
     alphas = 1.0 - jnp.exp(-dts * density_scale * sigmas)
     one_m = 1.0 - alphas + 1e-15

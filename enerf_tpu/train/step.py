@@ -38,9 +38,24 @@ class StepStatics(NamedTuple):
     negative_event_sampling: bool
     w_no_ev: float
     out_dim_color: int
+    # occupancy-march training path (the reference's cuda_ray branch):
+    use_march: bool = False
+    march_samples: int = 32
+    max_steps: int = 1024
+    dt_gamma: float = 0.0
+    compact_frac: Any = 0.5
 
 
-def _render(params, ss, rays_o, rays_d, bg, rng):
+def _render(params, ss, rays_o, rays_d, bg, rng, occ_bitfield=None):
+    if ss.use_march and occ_bitfield is not None:
+        from enerf_tpu.render.march import render_rays_march
+        return render_rays_march(
+            params, ss.field_static, occ_bitfield, rays_o, rays_d,
+            num_samples=ss.march_samples, max_steps=ss.max_steps,
+            bg_color=bg, perturb=True, rng=rng, min_near=ss.min_near,
+            density_scale=ss.density_scale, dt_gamma=ss.dt_gamma,
+            compact_frac=ss.compact_frac,
+        )
     return render_rays(
         params, ss.field_static, rays_o, rays_d,
         num_steps=ss.num_steps, upsample_steps=ss.upsample_steps,
@@ -49,7 +64,7 @@ def _render(params, ss, rays_o, rays_d, bg, rng):
     )
 
 
-def frames_loss_fn(params, ss, batch, rng):
+def frames_loss_fn(params, ss, batch, rng, occ=None):
     """MSE frame loss with pixel-wise random background (utils.py:586-604)."""
     k_bg, k_r = jax.random.split(rng)
     images = batch["images"]  # [N, C] or [N, C+1]
@@ -59,14 +74,14 @@ def frames_loss_fn(params, ss, batch, rng):
         gt = images[..., :C] * images[..., C:] + bg * (1.0 - images[..., C:])
     else:
         gt = images
-    out = _render(params, ss, batch["rays_o"], batch["rays_d"], bg, k_r)
+    out = _render(params, ss, batch["rays_o"], batch["rays_d"], bg, k_r, occ)
     per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)  # [N]
     loss = jnp.mean(per_ray)
     return loss, {"loss_frames": loss, "pred": out["image"], "gt": gt,
                   "per_ray_loss": per_ray}
 
 
-def event_loss_fn(params, ss, batch, rng):
+def event_loss_fn(params, ss, batch, rng, occ=None):
     """Event photometric loss on paired renders (utils.py:482-573)."""
     k_bg, k1, k2, k3, k4, kf = jax.random.split(rng, 6)
     N = batch["rays_evs_o1"].shape[0]
@@ -74,8 +89,8 @@ def event_loss_fn(params, ss, batch, rng):
     # one random bg shared by both renders of the pair (utils.py:487)
     bg = jnp.broadcast_to(jax.random.uniform(k_bg, (1, C)), (N, C))
 
-    out1 = _render(params, ss, batch["rays_evs_o1"], batch["rays_evs_d1"], bg, k1)
-    out2 = _render(params, ss, batch["rays_evs_o2"], batch["rays_evs_d2"], bg, k2)
+    out1 = _render(params, ss, batch["rays_evs_o1"], batch["rays_evs_d1"], bg, k1, occ)
+    out2 = _render(params, ss, batch["rays_evs_o2"], batch["rays_evs_d2"], bg, k2, occ)
     ll1 = losses.log_intensity(out1["image"], ss.use_luma, ss.linlog)
     ll2 = losses.log_intensity(out2["image"], ss.use_luma, ss.linlog)
     delta = ll2 - ll1  # [N, 1 or C]
@@ -91,15 +106,15 @@ def event_loss_fn(params, ss, batch, rng):
         lf, faux = frames_loss_fn(params, ss,
                                   {"rays_o": batch["rays_o"],
                                    "rays_d": batch["rays_d"],
-                                   "images": batch["images"]}, kf)
+                                   "images": batch["images"]}, kf, occ)
         loss = loss + ss.weight_loss_rgb * faux["loss_frames"]
         aux["loss_frames"] = faux["loss_frames"]
 
     if ss.negative_event_sampling and "rays_no_evs_o1" in batch:
         M = batch["rays_no_evs_o1"].shape[0]
         bg2 = jnp.broadcast_to(jax.random.uniform(k3, (1, C)), (M, C))
-        no1 = _render(params, ss, batch["rays_no_evs_o1"], batch["rays_no_evs_d1"], bg2, k4)
-        no2 = _render(params, ss, batch["rays_no_evs_o2"], batch["rays_no_evs_d2"], bg2, k4)
+        no1 = _render(params, ss, batch["rays_no_evs_o1"], batch["rays_no_evs_d1"], bg2, k4, occ)
+        no2 = _render(params, ss, batch["rays_no_evs_o2"], batch["rays_no_evs_d2"], bg2, k4, occ)
         nll1 = losses.log_intensity(no1["image"], ss.use_luma, True)
         nll2 = losses.log_intensity(no2["image"], ss.use_luma, True)
         lne = losses.no_event_loss(nll2 - nll1, ss.C_thres, ss.w_no_ev)
@@ -110,9 +125,9 @@ def event_loss_fn(params, ss, batch, rng):
 
 
 @functools.partial(jax.jit, static_argnames=("ss", "opt"), donate_argnums=(0,))
-def train_step_frames(state, batch, rng, ss, opt):
+def train_step_frames(state, batch, rng, ss, opt, occ=None):
     (loss, aux), grads = jax.value_and_grad(frames_loss_fn, has_aux=True)(
-        state.params, ss, batch, rng
+        state.params, ss, batch, rng, occ
     )
     new_state = apply_updates(state, grads, opt)
     return new_state, {"loss": loss, "loss_frames": aux["loss_frames"],
@@ -120,9 +135,9 @@ def train_step_frames(state, batch, rng, ss, opt):
 
 
 @functools.partial(jax.jit, static_argnames=("ss", "opt"), donate_argnums=(0,))
-def train_step_events(state, batch, rng, ss, opt):
+def train_step_events(state, batch, rng, ss, opt, occ=None):
     (loss, aux), grads = jax.value_and_grad(event_loss_fn, has_aux=True)(
-        state.params, ss, batch, rng
+        state.params, ss, batch, rng, occ
     )
     new_state = apply_updates(state, grads, opt)
     out = {"loss": loss, "loss_evs": aux["loss_evs"]}

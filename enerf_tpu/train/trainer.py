@@ -72,6 +72,8 @@ class Trainer:
             negative_event_sampling=bool(cfg.negative_event_sampling),
             w_no_ev=cfg.w_no_ev,
             out_dim_color=cfg.out_dim_color,
+            use_march=bool(cfg.cuda_ray),
+            dt_gamma=cfg.dt_gamma,
         )
 
         params = init_field_params(jax.random.PRNGKey(cfg.seed), self.static)
@@ -135,10 +137,15 @@ class Trainer:
             batch = shard_batch(batch, self.mesh)
             self.state, aux = self._sharded_step(state, batch, rng)
             return aux
+        occ = self.occupancy.occ_bitfield if self.occupancy is not None else None
         if self.cfg.events:
-            self.state, aux = train_step_events(self.state, batch, rng, self.ss, self.opt)
+            self.state, aux = train_step_events(
+                self.state, batch, rng, self.ss, self.opt, occ
+            )
         else:
-            self.state, aux = train_step_frames(self.state, batch, rng, self.ss, self.opt)
+            self.state, aux = train_step_frames(
+                self.state, batch, rng, self.ss, self.opt, occ
+            )
         return aux
 
     # ----------------------------------------------------------------- train

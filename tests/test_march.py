@@ -140,3 +140,49 @@ def test_mark_untrained():
     g = np.asarray(occ2.density_grid)
     assert (g == -1).any(), "no cells culled"
     assert (g == 0).any(), "all cells culled"
+
+
+def test_march_compaction_matches_full():
+    """Compacted field evaluation must reproduce the uncompacted render
+    when the budget covers all valid samples."""
+    static = small_static()
+    params = init_field_params(jax.random.PRNGKey(3), static)
+    H = GRID_SIZE
+    g = np.arange(H)
+    xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
+    centers = 2.0 * np.stack([xs, ys, zs], -1) / (H - 1) - 1.0
+    ball = (np.linalg.norm(centers, axis=-1) < 0.4).reshape(1, -1)
+    occ = init_occupancy(1.0)._replace(occ_bitfield=jnp.asarray(ball))
+
+    key = jax.random.PRNGKey(1)
+    d = jax.random.normal(key, (32, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (32, 1))
+
+    full = render_rays_march(
+        params, static, occ.occ_bitfield, o, d, num_samples=32, bg_color=0.5
+    )
+    comp = render_rays_march(
+        params, static, occ.occ_bitfield, o, d, num_samples=32, bg_color=0.5,
+        compact_frac=1.0,  # budget == all lanes: must match exactly
+    )
+    np.testing.assert_allclose(
+        np.asarray(comp["image"]), np.asarray(full["image"]), atol=1e-5
+    )
+    # tight budget still renders finite images
+    comp2 = render_rays_march(
+        params, static, occ.occ_bitfield, o, d, num_samples=32, bg_color=0.5,
+        compact_frac=0.25,
+    )
+    assert np.isfinite(np.asarray(comp2["image"])).all()
+
+    # gradients flow through the compaction
+    def loss(p):
+        out = render_rays_march(
+            p, static, occ.occ_bitfield, o, d, num_samples=32, bg_color=0.5,
+            compact_frac=0.5,
+        )
+        return jnp.sum(out["image"] ** 2)
+
+    gr = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(gr))
