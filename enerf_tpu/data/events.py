@@ -101,6 +101,13 @@ def build_event_chains(events, frame_ids=None, n_frames=1):
     pos_in_group = np.arange(Mk) - offsets[group_id]
     num_succ = counts[group_id] - pos_in_group - 1
 
+    if Mk == 0:
+        raise ValueError(
+            "no event chains: no pixel has >= 2 events within a frame "
+            "interval — the event stream is too sparse for the chosen "
+            "frame grouping (reference provider.py:1164 filter)"
+        )
+
     # frame bounds over flat events and over groups
     frame_bounds = np.zeros((n_frames, 2), np.int64)
     pixel_bounds = np.zeros((n_frames, 2), np.int64)

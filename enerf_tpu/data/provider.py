@@ -210,7 +210,10 @@ class FramesProvider:
     error-map-weighted pixel sampling (utils.py:134-156, 611-632)."""
 
     def __init__(self, images, poses, intrinsics, num_rays=4096,
-                 steps_per_epoch=100, error_map=False):
+                 steps_per_epoch=100, error_map=False, stereo_views=None):
+        # stereo_views: optional list of event-camera view dicts rendered at
+        # eval time alongside the frame views (reference provider.py:1087-1091)
+        self.stereo_views = stereo_views
         self.images = jnp.asarray(images.reshape(images.shape[0], -1, images.shape[-1]))
         self.poses = jnp.asarray(poses, jnp.float32)
         self.train_poses = np.asarray(poses)
@@ -480,9 +483,20 @@ def make_providers(cfg, select_frames=None):
                 downscale=cfg.downscale, hotpixs=bool(cfg.hotpixs),
                 select_idxs=(select_frames or {}).get("train_idxs"),
             )
+        stereo = None
+        if cfg.eval_stereo_views:
+            # event-camera views at the val image timestamps
+            interp_ev = make_pose_interpolator(data["hf_ts"], data["hf_poses"])
+            ev_poses = interp_ev(data["tss_imgs_ns"])
+            stereo = [
+                {"pose": np.vstack([p, [0, 0, 0, 1]]),
+                 "intrinsics": data["intrinsics_evs"],
+                 "H": data["H_ev"], "W": data["W_ev"], "gt": None}
+                for p in ev_poses
+            ]
         val = FramesProvider(
             data["images"], data["poses"], data["intrinsics"],
-            num_rays=cfg.num_rays,
+            num_rays=cfg.num_rays, stereo_views=stereo,
         )
         if cfg.events:
             train = EventProvider(

@@ -306,6 +306,29 @@ class Trainer:
                         g8 = cv2.cvtColor(g8, cv2.COLOR_RGB2BGR)
                     cv2.imwrite(os.path.join(vdir, "gt", f"{j:04d}.png"), g8)
 
+        # stereo event-camera views (tumvie/eds, reference utils.py:1186-1255):
+        # rendered + saved, optionally affine-corrected; no GT metrics
+        stereo = getattr(provider, "stereo_views", None)
+        if self.cfg.eval_stereo_views and stereo and save:
+            import cv2
+            evdir = os.path.join(self.workspace, "validation", "event_view")
+            os.makedirs(evdir, exist_ok=True)
+            a = results.get("affine_a")
+            b = results.get("affine_b")
+            for j, v in enumerate(stereo):
+                img, depth = self.render_view(v["pose"], v["intrinsics"], v["H"], v["W"])
+                np.save(os.path.join(evdir, f"ep{self.epoch:04d}_{j:04d}_raw.npy"), img)
+                if a is not None:
+                    lum = img if img.shape[-1] == 1 else np.asarray(
+                        rgb_to_luma(jnp.asarray(img)))
+                    img8 = np.clip(np.exp(np.log(255.0 * lum + 1e-3) * a + b), 0, 255)
+                    img8 = np.rint(img8).astype(np.uint8)[..., 0]
+                else:
+                    img8 = (np.clip(img[..., 0], 0, 1) * 255).astype(np.uint8)
+                cv2.imwrite(os.path.join(evdir, f"ep{self.epoch:04d}_{j:04d}.png"), img8)
+                cv2.imwrite(os.path.join(evdir, f"ep{self.epoch:04d}_{j:04d}_depth.png"),
+                            (np.clip(depth, 0, 1) * 255).astype(np.uint8))
+
         self.log(f"[eval] epoch {self.epoch}: " +
                  " ".join(f"{k}={v}" for k, v in results.items()))
         if self.writer is not None:

@@ -87,3 +87,27 @@ def test_window_centers_and_rectify(sim, tmp_path):
     # undistorted coords = original + 0.25
     m = (out[:, 0] * 4) % 1
     np.testing.assert_allclose(np.unique(np.round(m, 3)), [0.0], atol=1e-3)
+
+
+def test_eds_provider_with_stereo_views(sim, tmp_path_factory):
+    from enerf_tpu.config import Config
+    from enerf_tpu.data.provider import make_providers
+
+    # denser stream: per-frame chain grouping needs >=2 events per pixel
+    # within single frame intervals
+    dense = synthetic.simulate_events(H=32, W=32, n_frames=12, C=0.04, turns=0.5)
+    d = str(tmp_path_factory.mktemp("eds_ds2"))
+    save_eds_dataset(dense, d, scale=0.33)
+    cfg = Config(
+        mode="eds", datadir=d, events=1, event_only=1, out_dim_color=1,
+        use_luma=0, pp_poses_sphere=0, eval_stereo_views=1,
+        batch_size_evs=64, num_rays=64, C_thres=0.15,
+    ).validate()
+    train, val = make_providers(cfg)
+    assert val.stereo_views and len(val.stereo_views) == 12
+    sv = val.stereo_views[0]
+    assert sv["pose"].shape == (4, 4) and sv["H"] == 32
+    # event batches sample fine from the loaded chains
+    import jax
+    b = train.train_step_batch(jax.random.PRNGKey(0))
+    assert b["rays_evs_o1"].shape == (64, 3)
