@@ -17,3 +17,17 @@ Reference layer map: see SURVEY.md at the repo root.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package import)."""
+    if name == "Config":
+        from enerf_tpu.config import Config
+        return Config
+    if name == "Trainer":
+        from enerf_tpu.train.trainer import Trainer
+        return Trainer
+    if name == "make_providers":
+        from enerf_tpu.data.provider import make_providers
+        return make_providers
+    raise AttributeError(name)

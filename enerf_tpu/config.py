@@ -97,6 +97,8 @@ class Config:
     mesh_shape: Optional[List[int]] = None  # devices per ('data',) axis; None = all
     log_every: int = 100
     max_keep_ckpt: int = 2
+    march_samples: int = 64     # live-sample buffer per ray (march path)
+    compact_frac: float = 0.5   # per-ray compaction budget fraction
 
     def validate(self):
         """reference main_nerf.py:78-93 assert_config."""

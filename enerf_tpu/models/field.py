@@ -192,9 +192,9 @@ def _dir_encode(static, d):
 def field_density(params, static, x):
     """x: [N, 3] in [-bound, bound] -> (sigma [N], geo_feat [N, G])."""
     x01 = (x + static.bound) / (2.0 * static.bound)
+    # table stays f32: the gather is address-rate-bound (f32 == bf16 speed,
+    # BENCH_NOTES.md) and the backward scatter-add then accumulates in f32
     table = params["hash_table"]
-    if static.compute_dtype == jnp.bfloat16:
-        table = table.astype(jnp.bfloat16)
     if static.encoding == "blockgrid":
         enc = block_encode(x01, table, static.grid_meta)
     else:
@@ -232,10 +232,8 @@ def field_forward_fused(params, static, x, d):
         "fused head supports the reference topology (2 sigma / 3 color layers)"
     )
     x01 = (x + static.bound) / (2.0 * static.bound)
-    table = params["hash_table"]
+    table = params["hash_table"]  # f32, see field_density
     cd = static.compute_dtype
-    if cd == jnp.bfloat16:
-        table = table.astype(jnp.bfloat16)
     if static.encoding == "blockgrid":
         enc = block_encode(x01, table, static.grid_meta)
     else:

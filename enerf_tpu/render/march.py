@@ -209,8 +209,15 @@ def render_rays_march(
         _field = field_forward
 
     if compact_frac is not None:
-        NS = N * num_samples
-        B = max(int(NS * compact_frac), 1)
+        # fair budget: cap samples PER RAY first (drops the farthest
+        # samples of dense rays, which sit behind the accumulated
+        # transmittance), so the global budget B = N * S_eff can never
+        # truncate whole rays (a naive global cap silently renders the
+        # tail of the batch as pure background).
+        S_eff = max(int(num_samples * compact_frac), 1)
+        B = N * S_eff
+        rank_in_ray = jnp.cumsum(valid, axis=1) - 1
+        valid = valid & (rank_in_ray < S_eff)
         vflat = valid.reshape(-1)
         order = jnp.argsort(~vflat, stable=True)  # valid lanes first
         src = order[:B]
@@ -219,7 +226,7 @@ def render_rays_march(
         )
         C = rgb_c.shape[-1]
         rank = jnp.cumsum(vflat) - 1
-        ok = vflat & (rank < B)
+        ok = vflat  # rank < B guaranteed by the per-ray cap
         r = jnp.clip(rank, 0, B - 1)
         sigmas = jnp.where(ok, sig_c[r], 0.0).reshape(N, num_samples)
         rgbs = jnp.where(ok[:, None], rgb_c[r], 0.0).reshape(N, num_samples, C)

@@ -74,6 +74,8 @@ class Trainer:
             out_dim_color=cfg.out_dim_color,
             use_march=bool(cfg.cuda_ray),
             dt_gamma=cfg.dt_gamma,
+            march_samples=cfg.march_samples,
+            compact_frac=cfg.compact_frac,
         )
 
         params = init_field_params(jax.random.PRNGKey(cfg.seed), self.static)
