@@ -17,16 +17,26 @@ import numpy as np
 # analytic scene
 
 
-def scene_density_color(x):
+def scene_density_color(x, rich=False):
     """Analytic field: x [N, 3] -> (sigma [N], rgb [N, 3]).
 
-    Three Gaussian blobs of distinct brightness/colour inside |x| < 1.
+    Three Gaussian blobs of distinct brightness/colour inside |x| < 1;
+    `rich` adds a ring of small high-contrast blobs (sharper edges ->
+    denser event streams for quality experiments).
     """
     blobs = [
         (np.array([0.3, 0.0, 0.0]), 0.22, 40.0, np.array([0.9, 0.2, 0.2])),
         (np.array([-0.25, 0.3, 0.1]), 0.18, 35.0, np.array([0.2, 0.85, 0.3])),
         (np.array([0.0, -0.3, -0.2]), 0.2, 30.0, np.array([0.25, 0.35, 0.95])),
     ]
+    if rich:
+        rng = np.random.default_rng(7)
+        for k in range(12):
+            ang = 2 * np.pi * k / 12
+            c = np.array([0.55 * np.cos(ang), 0.55 * np.sin(ang),
+                          0.35 * np.sin(2 * ang)])
+            col = rng.uniform(0.05, 1.0, 3)
+            blobs.append((c, 0.07, 120.0, col))
     sigma = np.zeros(x.shape[0])
     rgb_acc = np.zeros((x.shape[0], 3))
     for c, r, amp, col in blobs:
@@ -40,7 +50,7 @@ def scene_density_color(x):
 
 
 def render_gt(pose, intrinsics, H, W, n_steps=192, bound=1.0, bg=1.0,
-              grayscale=False, with_alpha=False):
+              grayscale=False, with_alpha=False, rich=False):
     """Ground-truth render of the analytic scene (fine fixed-step march).
 
     with_alpha: append the accumulated opacity as a 4th (or 2nd) channel so
@@ -72,7 +82,7 @@ def render_gt(pose, intrinsics, H, W, n_steps=192, bound=1.0, bg=1.0,
         ts = tn[:, None] + (tf - tn)[:, None] * (np.arange(n_steps) + 0.5)[None] / n_steps
         dt = (tf - tn)[:, None] / n_steps
         pts = ro[hit, None, :] + rd[hit, None, :] * ts[..., None]
-        sig, rgb = scene_density_color(pts.reshape(-1, 3))
+        sig, rgb = scene_density_color(pts.reshape(-1, 3), rich=rich)
         sig = sig.reshape(-1, n_steps)
         rgb = rgb.reshape(-1, n_steps, 3)
         alpha = 1.0 - np.exp(-sig * dt)
@@ -132,7 +142,7 @@ def _lin_log(x, thres=20.0):
 
 
 def simulate_events(H=64, W=64, n_frames=40, C=0.2, radius=2.5, height=0.8,
-                    turns=0.5, fovy_deg=60.0, seed=0):
+                    turns=0.5, fovy_deg=60.0, seed=0, rich=False):
     """Simulate an event stream from the orbiting camera.
 
     Returns dict with:
@@ -148,7 +158,7 @@ def simulate_events(H=64, W=64, n_frames=40, C=0.2, radius=2.5, height=0.8,
     ts = np.linspace(0.0, 1.0, n_frames)
     frames = np.stack(
         [render_gt(circle_pose(t, radius, height, turns), intr, H, W,
-                   grayscale=True) for t in ts]
+                   grayscale=True, rich=rich) for t in ts]
     )
     poses = np.stack([circle_pose(t, radius, height, turns) for t in ts])
 
