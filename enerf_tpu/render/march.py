@@ -162,42 +162,21 @@ def march_rays(
     return ts.T, dts.T, valid.T  # [N, S]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("static", "num_samples", "max_steps", "perturb",
-                     "min_near", "density_scale", "dt_gamma", "compact_frac"),
-)
-def render_rays_march(
-    params, static, occ_bitfield, rays_o, rays_d,
-    *, num_samples=64, max_steps=1024, bg_color=1.0, perturb=False,
-    rng=None, min_near=0.2, density_scale=1.0, dt_gamma=0.0,
-    compact_frac=None,
+def composite_from_march(
+    params, static, rays_o, rays_d, ts, dts, valid, nears, fars,
+    *, bg_color=1.0, density_scale=1.0, compact_frac=None,
 ):
-    """Occupancy-march render (the reference's cuda_ray path, TPU-native).
+    """Field evaluation + compositing for precomputed march samples.
 
-    compact_frac: if set (e.g. 0.25), the field is evaluated only on a
-    compacted buffer of ceil(N*S*frac) samples — the TPU analogue of the
-    reference's atomicAdd stream compaction with mean_count capping
-    (raymarching.py:196-227): invalid lanes are squeezed out by a stable
-    sort on the validity mask, and results are gathered back by rank.
-    Valid samples beyond the budget are dropped (capped) like the
-    reference when M exceeds the preallocated buffer.
-
-    Returns dict(image=[N, C], depth=[N], weights_sum=[N]).
+    Split out of render_rays_march so correlated ray pairs (event
+    supervision: two renders at nearly identical poses) can share ONE
+    occupancy march — the sample t-values of the first ray are reused for
+    the second, halving the sequential DDA work and correlating the
+    stochastic sampling of the pair (a variance reduction for the
+    difference loss).
     """
-    N = rays_o.shape[0]
+    N, num_samples = ts.shape
     bound = static.bound
-    cascades = occ_bitfield.shape[0]
-    aabb = jnp.asarray([-bound, -bound, -bound, bound, bound, bound], jnp.float32)
-    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
-
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-    ts, dts, valid = march_rays(
-        rays_o, rays_d, occ_bitfield, nears, fars, rng,
-        num_samples=num_samples, max_steps=max_steps, cascades=cascades,
-        bound=bound, dt_gamma=dt_gamma, perturb=perturb,
-    )
 
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
     xyzs = jnp.clip(xyzs, -bound, bound)
@@ -261,3 +240,46 @@ def render_rays_march(
         far_safe - near_safe, 1e-6
     )
     return {"image": image, "depth": depth, "weights_sum": weights_sum}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("static", "num_samples", "max_steps", "perturb",
+                     "min_near", "density_scale", "dt_gamma", "compact_frac"),
+)
+def render_rays_march(
+    params, static, occ_bitfield, rays_o, rays_d,
+    *, num_samples=64, max_steps=1024, bg_color=1.0, perturb=False,
+    rng=None, min_near=0.2, density_scale=1.0, dt_gamma=0.0,
+    compact_frac=None,
+):
+    """Occupancy-march render (the reference's cuda_ray path, TPU-native).
+
+    compact_frac: if set (e.g. 0.25), the field is evaluated only on a
+    compacted buffer of ceil(N*S*frac) samples — the TPU analogue of the
+    reference's atomicAdd stream compaction with mean_count capping
+    (raymarching.py:196-227): invalid lanes are squeezed out by a stable
+    sort on the validity mask, and results are gathered back by rank.
+    Valid samples beyond the budget are dropped (capped) like the
+    reference when M exceeds the preallocated buffer.
+
+    Returns dict(image=[N, C], depth=[N], weights_sum=[N]).
+    """
+    N = rays_o.shape[0]
+    bound = static.bound
+    cascades = occ_bitfield.shape[0]
+    aabb = jnp.asarray([-bound, -bound, -bound, bound, bound, bound], jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    ts, dts, valid = march_rays(
+        rays_o, rays_d, occ_bitfield, nears, fars, rng,
+        num_samples=num_samples, max_steps=max_steps, cascades=cascades,
+        bound=bound, dt_gamma=dt_gamma, perturb=perturb,
+    )
+    return composite_from_march(
+        params, static, rays_o, rays_d, ts, dts, valid, nears, fars,
+        bg_color=bg_color, density_scale=density_scale,
+        compact_frac=compact_frac,
+    )

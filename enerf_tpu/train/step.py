@@ -44,6 +44,10 @@ class StepStatics(NamedTuple):
     max_steps: int = 1024
     dt_gamma: float = 0.0
     compact_frac: Any = 0.5
+    # event pairs: march once on the first ray of the pair and reuse its
+    # sample t-values for the second (the poses differ by ~one event
+    # spacing) — halves DDA work and correlates the pair's sampling
+    share_march: bool = False
 
 
 def _render(params, ss, rays_o, rays_d, bg, rng, occ_bitfield=None):
@@ -89,8 +93,34 @@ def event_loss_fn(params, ss, batch, rng, occ=None):
     # one random bg shared by both renders of the pair (utils.py:487)
     bg = jnp.broadcast_to(jax.random.uniform(k_bg, (1, C)), (N, C))
 
-    out1 = _render(params, ss, batch["rays_evs_o1"], batch["rays_evs_d1"], bg, k1, occ)
-    out2 = _render(params, ss, batch["rays_evs_o2"], batch["rays_evs_d2"], bg, k2, occ)
+    if ss.use_march and ss.share_march and occ is not None:
+        from enerf_tpu.ops.aabb import near_far_from_aabb
+        from enerf_tpu.render.march import march_rays, composite_from_march
+        fs = ss.field_static
+        b = fs.bound
+        aabb = jnp.asarray([-b, -b, -b, b, b, b], jnp.float32)
+        o1, d1 = batch["rays_evs_o1"], batch["rays_evs_d1"]
+        o2, d2 = batch["rays_evs_o2"], batch["rays_evs_d2"]
+        nears, fars = near_far_from_aabb(o1, d1, aabb, ss.min_near)
+        ts, dts, valid = march_rays(
+            o1, d1, occ, nears, fars, k1,
+            num_samples=ss.march_samples, max_steps=ss.max_steps,
+            cascades=occ.shape[0], bound=b, dt_gamma=ss.dt_gamma,
+            perturb=True,
+        )
+        out1 = composite_from_march(
+            params, fs, o1, d1, ts, dts, valid, nears, fars,
+            bg_color=bg, density_scale=ss.density_scale,
+            compact_frac=ss.compact_frac,
+        )
+        out2 = composite_from_march(
+            params, fs, o2, d2, ts, dts, valid, nears, fars,
+            bg_color=bg, density_scale=ss.density_scale,
+            compact_frac=ss.compact_frac,
+        )
+    else:
+        out1 = _render(params, ss, batch["rays_evs_o1"], batch["rays_evs_d1"], bg, k1, occ)
+        out2 = _render(params, ss, batch["rays_evs_o2"], batch["rays_evs_d2"], bg, k2, occ)
     ll1 = losses.log_intensity(out1["image"], ss.use_luma, ss.linlog)
     ll2 = losses.log_intensity(out2["image"], ss.use_luma, ss.linlog)
     delta = ll2 - ll1  # [N, 1 or C]

@@ -186,3 +186,40 @@ def test_march_compaction_matches_full():
 
     gr = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(gr))
+
+
+def test_shared_march_event_step():
+    """share_march: one DDA march reused for both renders of the pair."""
+    from enerf_tpu.train.state import init_train_state
+    from enerf_tpu.train.step import StepStatics, train_step_events
+
+    static = small_static()
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    state, opt = init_train_state(params, 1e-2, 100)
+    occ = init_occupancy(1.0)
+    occ_bf = jnp.ones_like(occ.occ_bitfield)
+
+    ss = StepStatics(
+        field_static=static, num_steps=16, upsample_steps=0, min_near=0.2,
+        density_scale=1.0, C_thres=0.2, event_only=True, use_luma=False,
+        linlog=True, weight_loss_rgb=1.0, negative_event_sampling=False,
+        w_no_ev=1.0, out_dim_color=1, use_march=True, march_samples=16,
+        compact_frac=0.5, share_march=True,
+    )
+    key = jax.random.PRNGKey(1)
+    d = jnp.asarray([[0.0, 0.0, 1.0]]) + 0.15 * jax.random.normal(key, (32, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (32, 1))
+    batch = {
+        "rays_evs_o1": o, "rays_evs_d1": d,
+        "rays_evs_o2": o + 0.005, "rays_evs_d2": d,
+        "pols": jnp.ones((32,), jnp.float32),
+    }
+    losses = []
+    for i in range(12):
+        state, aux = train_step_events(
+            state, batch, jax.random.PRNGKey(2 + i), ss, opt, occ_bf
+        )
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], "shared-march step did not reduce loss"
