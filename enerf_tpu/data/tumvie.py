@@ -192,3 +192,59 @@ def load_tumvie_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1,
         "H_ev": 720,
         "W_ev": 1280,
     }
+
+
+def save_tumvie_dataset(data, datadir, scale=0.33):
+    """Write a synthetic dataset in the TUM-VIE on-disk layout (fixture +
+    format documentation): left_images_undistorted/ + timestamps, mocap
+    quatlist, calib_undist.json + mocap-imu-calib.json (identity
+    extrinsics), events_left.h5 (us + ms_to_idx), identity rectify map."""
+    import json as _json
+    from scipy.spatial.transform import Rotation as Rot
+    from enerf_tpu.data.h5events import write_event_h5, write_rectify_map
+    from enerf_tpu.data.provider import raw_rdf_from_ngp
+
+    H, W = data["H"], data["W"]
+    imgdir = os.path.join(datadir, "left_images_undistorted")
+    os.makedirs(imgdir, exist_ok=True)
+    ts_us = data["frame_ts"] * 1e6
+    np.savetxt(os.path.join(imgdir, "image_timestamps_left.txt"), ts_us)
+    for i, im in enumerate(data["frames"]):
+        img8 = (np.clip(im[..., 0], 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(imgdir, f"{i:05d}.png"), img8)
+
+    # mocap marker poses == camera poses (identity marker/imu/cam calib)
+    hf_t = np.linspace(data["frame_ts"][0], data["frame_ts"][-1], 4 * len(ts_us))
+    rows = []
+    for t in hf_t:
+        raw = raw_rdf_from_ngp(data["pose_fn"](t), scale)
+        q = Rot.from_matrix(raw[:3, :3]).as_quat()
+        rows.append([t * 1e6, *raw[:3, 3], *q])
+    np.savetxt(os.path.join(datadir, "mocap_data.txt"), np.asarray(rows),
+               header="ts_us px py pz qx qy qz qw")
+
+    ident = {"px": 0.0, "py": 0.0, "pz": 0.0,
+             "qx": 0.0, "qy": 0.0, "qz": 0.0, "qw": 1.0}
+    fx, fy, cx, cy = data["intrinsics"]
+    intr = {"fx": fx, "fy": fy, "cx": cx, "cy": cy}
+    with open(os.path.join(datadir, "calib_undist.json"), "w") as f:
+        _json.dump({"value0": {
+            "intrinsics_undistorted": [intr, intr, intr, intr],
+            "T_imu_cam": [ident, ident, ident, ident],
+        }}, f)
+    with open(os.path.join(datadir, "mocap-imu-calib.json"), "w") as f:
+        _json.dump({"value0": {"T_imu_marker": ident}}, f)
+
+    ev = data["events"]
+    order = np.argsort(ev[:, 2], kind="stable")
+    ev = ev[order]
+    write_event_h5(
+        os.path.join(datadir, "events_left.h5"),
+        ev[:, 0], ev[:, 1], ev[:, 2] * 1e6, (ev[:, 3] > 0).astype(np.int8),
+        grouped=True,
+    )
+    rmap = np.stack(
+        np.meshgrid(np.arange(W), np.arange(H), indexing="xy"), -1
+    ).astype(np.float32)
+    write_rectify_map(os.path.join(datadir, "rectify_map_left.h5"), rmap)
+    return datadir

@@ -111,3 +111,38 @@ def test_eds_provider_with_stereo_views(sim, tmp_path_factory):
     import jax
     b = train.train_step_batch(jax.random.PRNGKey(0))
     assert b["rays_evs_o1"].shape == (64, 3)
+
+
+def test_tumvie_roundtrip(sim, tmp_path_factory):
+    from enerf_tpu.data.tumvie import load_tumvie_dataset, save_tumvie_dataset
+
+    d = str(tmp_path_factory.mktemp("tumvie_ds"))
+    save_tumvie_dataset(sim, d, scale=0.33)
+    loaded = load_tumvie_dataset(d, scale=0.33, out_dim_color=1,
+                                 pp_poses_sphere=False)
+    assert loaded["images"].shape == (20, 32, 32, 1)
+    np.testing.assert_allclose(loaded["images"], sim["frames"], atol=2 / 255)
+    # identity extrinsics: event-cam hf poses == trajectory poses
+    mid = len(loaded["hf_ts"]) // 2
+    expect = sim["pose_fn"](loaded["hf_ts"][mid] / 1e9)
+    np.testing.assert_allclose(loaded["hf_poses"][mid], expect, atol=1e-3)
+    np.testing.assert_allclose(loaded["poses"][0], sim["poses"][0], atol=1e-3)
+    # events arrive undistorted (identity map), pol +-1, ns timestamps
+    assert loaded["events"].shape[0] > 0.9 * sim["events"].shape[0]
+    assert set(np.unique(loaded["events"][:, 3])) <= {-1.0, 1.0}
+    assert loaded["W_ev"] == 1280  # tumvie event-camera resolution constant
+
+
+def test_tumvie_sphere_preprocessing_path(sim, tmp_path_factory):
+    from enerf_tpu.data.tumvie import load_tumvie_dataset, save_tumvie_dataset
+
+    d = str(tmp_path_factory.mktemp("tumvie_ds_pp"))
+    save_tumvie_dataset(sim, d, scale=0.33)
+    loaded = load_tumvie_dataset(d, scale=0.33, out_dim_color=1,
+                                 pp_poses_sphere=True)
+    # spherified: camera radii ~1 around the center of attention (x scale)
+    radii = np.linalg.norm(loaded["poses"][:, :3, 3], axis=-1)
+    assert 0.1 < radii.mean() < 1.2
+    R = loaded["poses"][:, :3, :3]
+    rrt = R @ np.transpose(R, (0, 2, 1))
+    np.testing.assert_allclose(rrt, np.tile(np.eye(3), (len(R), 1, 1)), atol=1e-4)
