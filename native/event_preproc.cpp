@@ -31,16 +31,34 @@ int64_t sort_events_by_pixel(
     int64_t* order, int64_t* out_group_id) {
   // key = frame * (W*H) + pixel
   std::vector<int64_t> key(n);
+  int32_t max_frame = 0;
   for (int64_t i = 0; i < n; ++i) {
     int64_t px = (int64_t)ys[i] * W + (int64_t)xs[i];
     key[i] = (int64_t)frame_ids[i] * (int64_t)W * H + px;
+    if (frame_ids[i] > max_frame) max_frame = frame_ids[i];
   }
-  for (int64_t i = 0; i < n; ++i) order[i] = i;
-  // stable sort by (key, t)
-  std::stable_sort(order, order + n, [&](int64_t a, int64_t b) {
-    if (key[a] != key[b]) return key[a] < key[b];
-    return ts[a] < ts[b];
-  });
+  const int64_t n_keys = (int64_t)(max_frame + 1) * W * H;
+
+  bool time_sorted = true;
+  for (int64_t i = 1; i < n; ++i) {
+    if (ts[i] < ts[i - 1]) { time_sorted = false; break; }
+  }
+  if (time_sorted && n_keys <= (int64_t)1 << 28) {
+    // O(N + K) stable counting sort by key: the event stream is already
+    // globally time-sorted, so stability preserves per-pixel time order.
+    std::vector<int64_t> count(n_keys + 1, 0);
+    for (int64_t i = 0; i < n; ++i) count[key[i] + 1]++;
+    for (int64_t k = 0; k < n_keys; ++k) count[k + 1] += count[k];
+    std::vector<int64_t> cursor(count.begin(), count.end() - 1);
+    for (int64_t i = 0; i < n; ++i) order[cursor[key[i]]++] = i;
+  } else {
+    for (int64_t i = 0; i < n; ++i) order[i] = i;
+    std::stable_sort(order, order + n, [&](int64_t a, int64_t b) {
+      if (key[a] != key[b]) return key[a] < key[b];
+      return ts[a] < ts[b];
+    });
+  }
+
   int64_t groups = 0;
   for (int64_t i = 0; i < n; ++i) {
     if (i == 0 || key[order[i]] != key[order[i - 1]]) ++groups;
