@@ -99,20 +99,34 @@ class Config:
     max_keep_ckpt: int = 2
     march_samples: int = 64     # live-sample buffer per ray (march path)
     compact_frac: float = 0.5   # per-ray compaction budget fraction
+    max_steps: int = 1024       # march step budget (reference renderer.py:281)
 
     def validate(self):
-        """reference main_nerf.py:78-93 assert_config."""
-        assert self.acc_max_num_evs >= 0
+        """reference main_nerf.py:78-93 assert_config (with messages)."""
+        assert self.acc_max_num_evs >= 0, (
+            f"acc_max_num_evs must be >= 0, got {self.acc_max_num_evs}"
+        )
         if self.mode == "eds":
-            assert self.pp_poses_sphere == 0
-        assert 1e-7 < self.lr < 1e2
+            assert self.pp_poses_sphere == 0, (
+                "mode=eds requires pp_poses_sphere=0 (EDS poses are already "
+                "metric; sphere preprocessing would distort them)"
+            )
+        assert 1e-7 < self.lr < 1e2, f"lr {self.lr} outside (1e-7, 1e2)"
         if self.event_only:
-            assert self.events
+            assert self.events, "event_only=1 requires events=1"
         if self.mode not in ("tumvie", "eds"):
-            assert self.eval_stereo_views == 0
-        if self.out_dim_color == 1:
-            assert self.use_luma == 0
-        assert self.out_dim_color in (1, 3)
+            assert self.eval_stereo_views == 0, (
+                f"eval_stereo_views needs a stereo dataset (tumvie/eds), "
+                f"mode is {self.mode!r}"
+            )
+        assert self.out_dim_color in (1, 3), (
+            f"out_dim_color must be 1 or 3, got {self.out_dim_color}"
+        )
+        if self.out_dim_color == 1 and self.use_luma:
+            # grayscale output IS luma — the flag is meaningless; the
+            # reference hard-asserts here on its own defaults
+            # (main_nerf.py:91-92 vs :117/:126), we coerce instead
+            self.use_luma = 0
         return self
 
 

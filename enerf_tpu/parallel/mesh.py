@@ -55,27 +55,58 @@ def make_sharded_train_step(ss, opt, mesh, mode="events"):
 
     state: replicated; batch: sharded over 'data' along axis 0; rng:
     replicated (each chip derives its lane keys from the same seed + its
-    ray indices being distinct slices).  The mean loss over the global
-    batch makes XLA emit a psum over ICI for the parameter gradients.
+    ray indices being distinct slices); occupancy bitfield: replicated
+    (read-only inside the step; maintained by update_occupancy off the hot
+    path).  The mean loss over the global batch makes XLA emit a psum over
+    ICI for the parameter gradients.
+
+    The production march path (ss.use_march) composes with the sharding:
+    the DDA march, per-ray compaction, field eval and composite are all
+    batch-axis-local ops (render/march.py packs per ray, never across the
+    batch), so the ONLY collective in the compiled program is the gradient
+    psum.
+
+    Returns a callable (state, batch, rng, occ=None) -> (state, scalars).
     """
     loss_fn = event_loss_fn if mode == "events" else frames_loss_fn
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
 
-    def step(state, batch, rng):
+    def step(state, batch, rng, occ):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, ss, batch, rng
+            state.params, ss, batch, rng, occ
         )
         new_state = apply_updates(state, grads, opt)
         scalars = {"loss": loss}
         for k in ("loss_evs", "loss_frames", "loss_no_evs"):
             if k in aux:
                 scalars[k] = aux[k]
+        if mode == "frames":
+            # error-map feedback (gathered to replicated on output)
+            scalars["per_ray_loss"] = aux["per_ray_loss"]
         return new_state, scalars
 
-    return jax.jit(
-        step,
+    if ss.use_march:
+        jitted = jax.jit(
+            step,
+            in_shardings=(repl, shard, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+        def run(state, batch, rng, occ=None):
+            assert occ is not None, (
+                "use_march=True: the sharded step needs the occupancy "
+                "bitfield (pass trainer.occupancy.occ_bitfield)"
+            )
+            return jitted(state, batch, rng, occ)
+
+        return run
+
+    jitted = jax.jit(
+        lambda state, batch, rng: step(state, batch, rng, None),
         in_shardings=(repl, shard, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+    return lambda state, batch, rng, occ=None: jitted(state, batch, rng)

@@ -178,44 +178,36 @@ def composite_from_march(
     N, num_samples = ts.shape
     bound = static.bound
 
-    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
-    xyzs = jnp.clip(xyzs, -bound, bound)
-    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
-
     if getattr(static, "use_fused_head", False):
         from enerf_tpu.models.field import field_forward_fused as _field
     else:
         _field = field_forward
 
     if compact_frac is not None:
-        # fair budget: cap samples PER RAY first (drops the farthest
-        # samples of dense rays, which sit behind the accumulated
-        # transmittance), so the global budget B = N * S_eff can never
-        # truncate whole rays (a naive global cap silently renders the
-        # tail of the batch as pure background).
+        # fair budget: cap samples PER RAY (drops the farthest samples of
+        # dense rays, which sit behind the accumulated transmittance) and
+        # pack each ray's valid lanes into its own first S_eff slots via a
+        # stable argsort along the SAMPLE axis.  The pack is purely per-ray
+        # (no cross-batch sort), so under a data-sharded batch every op
+        # stays shard-local — the multi-chip step needs no collective for
+        # compaction (the old global flat-argsort version forced one).
         S_eff = max(int(num_samples * compact_frac), 1)
-        B = N * S_eff
-        rank_in_ray = jnp.cumsum(valid, axis=1) - 1
-        valid = valid & (rank_in_ray < S_eff)
-        vflat = valid.reshape(-1)
-        order = jnp.argsort(~vflat, stable=True)  # valid lanes first
-        src = order[:B]
-        sig_c, rgb_c = _field(
-            params, static, xyzs.reshape(-1, 3)[src], dirs.reshape(-1, 3)[src]
-        )
-        C = rgb_c.shape[-1]
-        rank = jnp.cumsum(vflat) - 1
-        ok = vflat  # rank < B guaranteed by the per-ray cap
-        r = jnp.clip(rank, 0, B - 1)
-        sigmas = jnp.where(ok, sig_c[r], 0.0).reshape(N, num_samples)
-        rgbs = jnp.where(ok[:, None], rgb_c[r], 0.0).reshape(N, num_samples, C)
-    else:
-        sigmas, rgbs = _field(
-            params, static, xyzs.reshape(-1, 3), dirs.reshape(-1, 3)
-        )
-        C = rgbs.shape[-1]
-        sigmas = jnp.where(valid, sigmas.reshape(N, num_samples), 0.0)
-        rgbs = rgbs.reshape(N, num_samples, C)
+        order = jnp.argsort(~valid, axis=1, stable=True)[:, :S_eff]  # [N, S_eff]
+        ts = jnp.take_along_axis(ts, order, axis=1)
+        dts = jnp.take_along_axis(dts, order, axis=1)
+        valid = jnp.take_along_axis(valid, order, axis=1)
+        num_samples = S_eff
+
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
+    xyzs = jnp.clip(xyzs, -bound, bound)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+
+    sigmas, rgbs = _field(
+        params, static, xyzs.reshape(-1, 3), dirs.reshape(-1, 3)
+    )
+    C = rgbs.shape[-1]
+    sigmas = jnp.where(valid, sigmas.reshape(N, num_samples), 0.0)
+    rgbs = rgbs.reshape(N, num_samples, C)
 
     alphas = 1.0 - jnp.exp(-dts * density_scale * sigmas)
     one_m = 1.0 - alphas + 1e-15
@@ -256,12 +248,12 @@ def render_rays_march(
     """Occupancy-march render (the reference's cuda_ray path, TPU-native).
 
     compact_frac: if set (e.g. 0.25), the field is evaluated only on a
-    compacted buffer of ceil(N*S*frac) samples — the TPU analogue of the
+    compacted [N, ceil(S*frac)] buffer — the TPU analogue of the
     reference's atomicAdd stream compaction with mean_count capping
-    (raymarching.py:196-227): invalid lanes are squeezed out by a stable
-    sort on the validity mask, and results are gathered back by rank.
-    Valid samples beyond the budget are dropped (capped) like the
-    reference when M exceeds the preallocated buffer.
+    (raymarching.py:196-227): each ray's valid lanes are packed into its
+    own first slots by a stable per-ray sort (shard-local under data
+    parallelism).  Valid samples beyond the per-ray budget are dropped
+    (capped) like the reference when M exceeds the preallocated buffer.
 
     Returns dict(image=[N, C], depth=[N], weights_sum=[N]).
     """

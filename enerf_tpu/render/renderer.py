@@ -62,7 +62,7 @@ def sample_pdf(key, bins, weights, n_samples, det=False):
     jax.jit,
     static_argnames=(
         "static", "num_steps", "upsample_steps", "perturb", "train",
-        "min_near", "density_scale",
+        "min_near", "density_scale", "field_fns",
     ),
 )
 def render_rays(
@@ -79,6 +79,7 @@ def render_rays(
     train=True,
     min_near=0.2,
     density_scale=1.0,
+    field_fns=None,
 ):
     """Render a flat batch of rays.
 
@@ -89,10 +90,17 @@ def render_rays(
       bg_color: scalar or [C] or [N, C] background (ignored if the field
         has a background model).
       rng: PRNGKey, required when perturb or stochastic upsampling.
+      field_fns: optional (density_fn, color_fn) override with the same
+        signatures as field_density / field_color — used by the golden
+        tests to render an analytic field through the exact production
+        sampling/composite pipeline (the role the reference's run() plays
+        as an oracle for run_cuda).
 
     Returns:
       dict(image=[N, C], depth=[N], weights_sum=[N])
     """
+    density_fn, color_fn = field_fns if field_fns is not None else (
+        field_density, field_color)
     N = rays_o.shape[0]
     bound = static.bound
     aabb = jnp.asarray([-bound, -bound, -bound, bound, bound, bound], jnp.float32)
@@ -120,7 +128,7 @@ def render_rays(
         return jnp.clip(xyzs, aabb[:3], aabb[3:])
 
     xyzs = make_xyzs(z_vals)  # [N, T, 3]
-    sigmas, geo_feat = field_density(params, static, xyzs.reshape(-1, 3))
+    sigmas, geo_feat = density_fn(params, static, xyzs.reshape(-1, 3))
     T_total = num_steps
 
     if upsample_steps > 0:
@@ -139,7 +147,7 @@ def render_rays(
         new_z = sample_pdf(k_pdf, z_mid, weights[:, 1:-1], upsample_steps, det=not train)
         new_z = jax.lax.stop_gradient(new_z)
         new_xyzs = make_xyzs(new_z)
-        new_sigmas, new_geo = field_density(params, static, new_xyzs.reshape(-1, 3))
+        new_sigmas, new_geo = density_fn(params, static, new_xyzs.reshape(-1, 3))
 
         T_total = num_steps + upsample_steps
         z_vals = jnp.concatenate([z_vals, new_z], axis=1)
@@ -165,7 +173,7 @@ def render_rays(
     deltas = jnp.concatenate([deltas, sample_dist * jnp.ones_like(deltas[..., :1])], -1)
 
     dirs = jnp.broadcast_to(rays_d[:, None, :], (N, T_total, 3)).reshape(-1, 3)
-    rgbs = field_color(params, static, dirs, geo_feat)  # [N*T, C]
+    rgbs = color_fn(params, static, dirs, geo_feat)  # [N*T, C]
     C = rgbs.shape[-1]
 
     if static.bg_radius > 0:

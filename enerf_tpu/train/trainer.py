@@ -75,6 +75,7 @@ class Trainer:
             use_march=bool(cfg.cuda_ray),
             dt_gamma=cfg.dt_gamma,
             march_samples=cfg.march_samples,
+            max_steps=cfg.max_steps,
             compact_frac=cfg.compact_frac,
         )
 
@@ -133,13 +134,12 @@ class Trainer:
             f.write(line + "\n")
 
     def _step_fn(self, batch, rng):
-        if self._sharded_step is not None:
-            from enerf_tpu.parallel.mesh import shard_batch, replicate
-            state = self.state
-            batch = shard_batch(batch, self.mesh)
-            self.state, aux = self._sharded_step(state, batch, rng)
-            return aux
         occ = self.occupancy.occ_bitfield if self.occupancy is not None else None
+        if self._sharded_step is not None:
+            from enerf_tpu.parallel.mesh import shard_batch
+            batch = shard_batch(batch, self.mesh)
+            self.state, aux = self._sharded_step(self.state, batch, rng, occ)
+            return aux
         if self.cfg.events:
             self.state, aux = train_step_events(
                 self.state, batch, rng, self.ss, self.opt, occ
@@ -227,9 +227,14 @@ class Trainer:
         pose = jnp.asarray(pose, jnp.float32)
         ro, rd = get_rays_full(pose, intrinsics, H, W)
         if self.occupancy is not None:
+            # eval uses a deeper live-sample buffer than training (the
+            # reference's inference loop runs to max_steps with no
+            # mean_count cap, renderer.py:344-401) but honors the
+            # configured training buffer as a floor
             out = render_rays_march(
                 params, self.static, self.occupancy.occ_bitfield, ro, rd,
-                num_samples=128, max_steps=1024, bg_color=1.0,
+                num_samples=max(2 * self.cfg.march_samples, 128),
+                max_steps=self.ss.max_steps, bg_color=1.0,
                 min_near=self.cfg.min_near, density_scale=self.cfg.density_scale,
                 dt_gamma=self.cfg.dt_gamma,
             )

@@ -61,6 +61,63 @@ def test_sharded_step_runs_and_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_march_step_matches_single_device():
+    """The PRODUCTION path (occupancy march + blockgrid + per-ray
+    compaction) must compose with data-parallel sharding: 8-dev == 1-dev.
+    """
+    from enerf_tpu.render.occupancy import init_occupancy, GRID_SIZE
+
+    static = FieldStatic(
+        bound=1.0, out_dim_color=1, num_levels=4, log2_hashmap_size=10,
+        encoding="blockgrid",
+    )
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    state, opt = init_train_state(params, lr0=1e-2, iters=100)
+    ss = StepStatics(
+        field_static=static, num_steps=16, upsample_steps=0, min_near=0.2,
+        density_scale=1.0, C_thres=0.2, event_only=True, use_luma=False,
+        linlog=True, weight_loss_rgb=1.0, negative_event_sampling=False,
+        w_no_ev=1.0, out_dim_color=1,
+        use_march=True, march_samples=16, max_steps=256, compact_frac=0.25,
+    )
+    # occupancy: ball bitfield so the march emits real samples
+    g = np.arange(GRID_SIZE)
+    xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
+    centers = 2.0 * np.stack([xs, ys, zs], -1) / (GRID_SIZE - 1) - 1.0
+    ball = np.linalg.norm(centers, axis=-1) < 0.5
+    occ = jnp.asarray(ball.reshape(1, -1))
+
+    n = 16 * 8
+    key = jax.random.PRNGKey(1)
+    d = jax.random.normal(key, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (n, 1))
+    batch = {
+        "rays_evs_o1": o, "rays_evs_d1": d,
+        "rays_evs_o2": o + 0.01, "rays_evs_d2": d,
+        "pols": jnp.ones((n,), jnp.float32),
+    }
+
+    s1, a1 = train_step_events(
+        jax.tree.map(jnp.copy, state), batch, jax.random.PRNGKey(2), ss, opt, occ
+    )
+
+    mesh = make_mesh(8)
+    step = make_sharded_train_step(ss, opt, mesh, mode="events")
+    s8, a8 = step(replicate(jax.tree.map(jnp.copy, state), mesh),
+                  shard_batch(batch, mesh), jax.random.PRNGKey(2),
+                  replicate(occ, mesh))
+
+    assert float(a1["loss"]) > 0.0  # the march actually rendered something
+    np.testing.assert_allclose(float(a1["loss"]), float(a8["loss"]), rtol=1e-4)
+    for k in s1.params:
+        np.testing.assert_allclose(
+            np.asarray(s1.params[k]), np.asarray(s8.params[k]), atol=1e-5,
+            err_msg=f"param {k} diverged between 1-dev and 8-dev march step",
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_dryrun_multichip_entrypoint():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
