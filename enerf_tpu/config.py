@@ -100,6 +100,9 @@ class Config:
     march_samples: int = 64     # live-sample buffer per ray (march path)
     compact_frac: float = 0.5   # per-ray compaction budget fraction
     max_steps: int = 1024       # march step budget (reference renderer.py:281)
+    share_march: int = 0        # event pairs share one march (variance cut)
+    syn_frames: int = 40        # synthetic-mode simulator frames
+    syn_rich: int = 0           # synthetic-mode rich (high-contrast) scene
 
     def validate(self):
         """reference main_nerf.py:78-93 assert_config (with messages)."""

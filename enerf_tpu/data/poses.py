@@ -91,14 +91,29 @@ def interp_pose_device(key_ts, key_quats, key_trans, ts_q):
     """On-device pose interpolation at query times.
 
     key_ts: [K] sorted keyframe times; key_quats: [K, 4]; key_trans: [K, 3];
-    ts_q: [N].  Returns [N, 3, 4] (slerp rotation, linear translation —
-    the cubic/linear distinction is imperceptible at event keyframe rates).
+    ts_q: [N].  Returns [N, 3, 4]: slerp rotations + cubic Hermite
+    (Catmull-Rom finite-difference tangents, non-uniform knots)
+    translations — tracks the host Slerp+scipy-cubic precompute
+    (reference provider.py:1204-1218) to spline-flavor differences.
     """
-    idx = jnp.clip(jnp.searchsorted(key_ts, ts_q, side="right") - 1, 0, len(key_ts) - 2)
+    K = len(key_ts)
+    idx = jnp.clip(jnp.searchsorted(key_ts, ts_q, side="right") - 1, 0, K - 2)
     t0, t1 = key_ts[idx], key_ts[idx + 1]
-    u = jnp.clip((ts_q - t0) / jnp.maximum(t1 - t0, 1e-12), 0.0, 1.0)
+    h = jnp.maximum(t1 - t0, 1e-12)
+    u = jnp.clip((ts_q - t0) / h, 0.0, 1.0)
     q = slerp_device(key_quats[idx], key_quats[idx + 1], u)
-    tr = key_trans[idx] * (1.0 - u)[:, None] + key_trans[idx + 1] * u[:, None]
+
+    p0, p1 = key_trans[idx], key_trans[idx + 1]
+    im = jnp.maximum(idx - 1, 0)
+    ip = jnp.minimum(idx + 2, K - 1)
+    # central-difference tangents scaled to the local interval
+    m0 = (p1 - key_trans[im]) / jnp.maximum(t1 - key_ts[im], 1e-12)[:, None] * h[:, None]
+    m1 = (key_trans[ip] - p0) / jnp.maximum(key_ts[ip] - t0, 1e-12)[:, None] * h[:, None]
+    u2 = (u * u)[:, None]
+    u3 = (u2 * u[:, None])
+    uu = u[:, None]
+    tr = ((2 * u3 - 3 * u2 + 1) * p0 + (u3 - 2 * u2 + uu) * m0
+          + (-2 * u3 + 3 * u2) * p1 + (u3 - u2) * m1)
     rot = quat_to_mat(q)
     return jnp.concatenate([rot, tr[..., None]], axis=-1)
 

@@ -33,6 +33,7 @@ from enerf_tpu.data import synthetic
 from enerf_tpu.data.events import build_event_chains, sample_event_batch
 from enerf_tpu.data.poses import (
     make_pose_interpolator, nerf_matrix_to_ngp, get_hom_trafos,
+    mat_to_quat_np, interp_pose_device,
 )
 from enerf_tpu.data.rays import get_rays_sampled, get_event_rays
 
@@ -288,13 +289,30 @@ class EventProvider:
         self.chains, ev_ts_sorted = build_event_chains(
             events, event_frame_ids, n_frames
         )
-        interp = make_pose_interpolator(hf_ts, hf_poses)
-        self._interp = interp
-        self.poses_evs = jnp.asarray(interp(ev_ts_sorted))  # [M, 3, 4]
+        # pose keyframes as device (quat, trans) pairs for online per-event /
+        # per-no-event-sample interpolation (reference provider.py:1410-1420's
+        # precompute_evs_poses=0 option, done with slerp ON DEVICE here)
+        hf_poses_np = np.asarray(hf_poses, np.float64)
+        self.key_ts = jnp.asarray(np.asarray(hf_ts, np.float64), jnp.float32)
+        self.key_quats = jnp.asarray(
+            mat_to_quat_np(hf_poses_np[:, :3, :3]), jnp.float32)
+        self.key_trans = jnp.asarray(hf_poses_np[:, :3, 3], jnp.float32)
+
+        self._interp = make_pose_interpolator(hf_ts, hf_poses)
+        self.precompute_evs_poses = bool(precompute_evs_poses)
+        if self.precompute_evs_poses:
+            # 48 bytes/event of device memory; exact host Slerp+cubic
+            self.poses_evs = jnp.asarray(self._interp(ev_ts_sorted))  # [M, 3, 4]
+        else:
+            # zero per-event memory: poses are slerped on device per batch
+            self.poses_evs = None
 
         # negative (no-event) sampling: per time chunk, the pixels with no
-        # events in that chunk (reference provider.py:1281-1351, 1443-1486)
-        self.no_evs = None
+        # events in that chunk (reference provider.py:1281-1351, 1443-1486).
+        # Stored as ONE padded device tensor so sampling is pure jnp — the
+        # reference (and round 1 here) did host numpy RNG + scipy slerp per
+        # step, a per-step host sync on the training hot path.
+        self.noev_coords = None
         if negative_event_sampling and len(events):
             ev = np.asarray(events)
             t0, t1 = float(ev[:, 2].min()), float(ev[:, 2].max())
@@ -303,21 +321,27 @@ class EventProvider:
             chunk_of = np.clip(
                 np.searchsorted(edges, ev[:, 2], side="right") - 1, 0, n_chunks - 1
             )
-            self.no_evs = []
             all_pix = np.stack(
                 np.meshgrid(np.arange(W), np.arange(H), indexing="xy"), -1
             ).reshape(-1, 2)
+            coords_list, counts = [], []
             for j in range(n_chunks):
                 m = chunk_of == j
                 has = np.zeros(H * W, bool)
                 pix = (ev[m, 1].astype(np.int64) * W + ev[m, 0].astype(np.int64))
                 has[np.clip(pix, 0, H * W - 1)] = True
-                coords = all_pix[~has]
-                if len(coords):
-                    self.no_evs.append(
-                        {"coords": coords.astype(np.float32),
-                         "t0": edges[j], "t1": edges[j + 1]}
-                    )
+                coords_list.append(all_pix[~has].astype(np.float32))
+                counts.append(len(coords_list[-1]))
+            pmax = max(max(counts), 1)
+            pad = np.zeros((n_chunks, pmax, 2), np.float32)
+            for j, c in enumerate(coords_list):
+                if len(c):
+                    reps = -(-pmax // len(c))
+                    pad[j] = np.tile(c, (reps, 1))[:pmax]
+            self.noev_coords = jnp.asarray(pad)            # [J, Pmax, 2]
+            self.noev_count = jnp.asarray(counts, jnp.int32)
+            self.noev_t0 = jnp.asarray(edges[:-1], jnp.float32)
+            self.noev_t1 = jnp.asarray(edges[1:], jnp.float32)
         self.intrinsics = intrinsics
         # stereo rigs (tumvie/eds): event camera has its own intrinsics
         self.intrinsics_evs = intrinsics_evs or intrinsics
@@ -338,6 +362,15 @@ class EventProvider:
             # frame camera may differ from the event camera (tumvie rigs)
             self.frame_H, self.frame_W = frames.shape[1:3]
 
+    def _event_poses(self, idx):
+        """Poses for flat event indices — precomputed gather or online
+        device slerp (precompute_evs_poses=0)."""
+        if self.poses_evs is not None:
+            return self.poses_evs[idx]
+        return interp_pose_device(
+            self.key_ts, self.key_quats, self.key_trans, self.chains.ts[idx]
+        )
+
     def train_step_batch(self, key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         frame = jax.random.randint(k1, (), 0, self.n_frames)
@@ -348,27 +381,26 @@ class EventProvider:
         xs = self.chains.xs[samp["idx_start"]]
         ys = self.chains.ys[samp["idx_start"]]
         rays = get_event_rays(
-            xs, ys, self.poses_evs[samp["idx_start"]],
-            self.poses_evs[samp["idx_end"]], self.intrinsics_evs,
+            xs, ys, self._event_poses(samp["idx_start"]),
+            self._event_poses(samp["idx_end"]), self.intrinsics_evs,
         )
         batch = dict(rays, pols=samp["pols"])
-        if self.no_evs and getattr(self, "use_no_ev", True):
-            import numpy as _np
-            k5, k6 = jax.random.split(jax.random.fold_in(key, 7))
-            rng = _np.random.default_rng(int(jax.random.randint(k5, (), 0, 2 ** 31 - 1)))
-            j = rng.integers(0, len(self.no_evs))
-            chunk = self.no_evs[j]
+        if self.noev_coords is not None and getattr(self, "use_no_ev", True):
+            k5, k6, k7 = jax.random.split(jax.random.fold_in(key, 7), 3)
+            j = jax.random.randint(k5, (), 0, self.noev_coords.shape[0])
             n_no = self.batch_size_evs // 2
-            sel = rng.integers(0, len(chunk["coords"]), n_no)
-            xyno = chunk["coords"][sel]
-            tt = _np.sort(
-                rng.uniform(chunk["t0"], chunk["t1"], (n_no, 2)), axis=1
-            )
-            p1 = jnp.asarray(self._interp(tt[:, 0]))
-            p2 = jnp.asarray(self._interp(tt[:, 1]))
+            sel = jax.random.randint(
+                k6, (n_no,), 0, jnp.maximum(self.noev_count[j], 1))
+            xyno = self.noev_coords[j][sel]  # [n_no, 2]
+            tt = jax.random.uniform(
+                k7, (n_no, 2), minval=self.noev_t0[j], maxval=self.noev_t1[j])
+            tt = jnp.sort(tt, axis=1)
+            p1 = interp_pose_device(
+                self.key_ts, self.key_quats, self.key_trans, tt[:, 0])
+            p2 = interp_pose_device(
+                self.key_ts, self.key_quats, self.key_trans, tt[:, 1])
             nrays = get_event_rays(
-                jnp.asarray(xyno[:, 0]), jnp.asarray(xyno[:, 1]),
-                p1, p2, self.intrinsics_evs,
+                xyno[:, 0], xyno[:, 1], p1, p2, self.intrinsics_evs,
             )
             batch["rays_no_evs_o1"] = nrays["rays_evs_o1"]
             batch["rays_no_evs_d1"] = nrays["rays_evs_d1"]
@@ -408,10 +440,16 @@ def make_providers(cfg, select_frames=None):
     dataset dispatch).  esim mode reads cfg.datadir; 'synthetic' generates
     data in-process (used by tests/bench and as a smoke dataset)."""
     if cfg.mode == "synthetic":
-        data = synthetic.simulate_events(H=cfg.H, W=cfg.W, C=abs(cfg.C_thres) if cfg.C_thres > 0 else 0.2)
+        data = synthetic.simulate_events(
+            H=cfg.H, W=cfg.W, C=abs(cfg.C_thres) if cfg.C_thres > 0 else 0.2,
+            n_frames=cfg.syn_frames, rich=bool(cfg.syn_rich),
+        )
         images = data["frames"] if cfg.out_dim_color == 1 else np.repeat(data["frames"], 3, -1)
-        val = FramesProvider(images, data["poses"], data["intrinsics"],
-                             num_rays=cfg.num_rays)
+        sf = select_frames or {}
+        va_idx = sf.get("val_idxs") or list(range(len(images)))
+        va_idx = [i for i in va_idx if i < len(images)]
+        val = FramesProvider(images[va_idx], data["poses"][va_idx],
+                             data["intrinsics"], num_rays=cfg.num_rays)
         if cfg.events:
             train = EventProvider(
                 data["events"], data["frame_ts"], data["poses"],
@@ -423,6 +461,7 @@ def make_providers(cfg, select_frames=None):
                 frame_poses=None if cfg.event_only else data["poses"],
                 num_rays=cfg.num_rays,
                 negative_event_sampling=bool(cfg.negative_event_sampling),
+                precompute_evs_poses=bool(cfg.precompute_evs_poses),
             )
         else:
             train = FramesProvider(images, data["poses"], data["intrinsics"],
@@ -457,6 +496,7 @@ def make_providers(cfg, select_frames=None):
                 frame_poses=None if cfg.event_only else data["poses"][tr_idx],
                 num_rays=cfg.num_rays,
                 negative_event_sampling=bool(cfg.negative_event_sampling),
+                precompute_evs_poses=bool(cfg.precompute_evs_poses),
             )
         else:
             train = FramesProvider(
@@ -512,6 +552,8 @@ def make_providers(cfg, select_frames=None):
                 n_frames=int(data["event_frame_ids"].max()) + 1
                 if len(data["event_frame_ids"]) else 1,
                 intrinsics_evs=data["intrinsics_evs"],
+                negative_event_sampling=bool(cfg.negative_event_sampling),
+                precompute_evs_poses=bool(cfg.precompute_evs_poses),
             )
         else:
             train = FramesProvider(

@@ -77,6 +77,7 @@ class Trainer:
             march_samples=cfg.march_samples,
             max_steps=cfg.max_steps,
             compact_frac=cfg.compact_frac,
+            share_march=bool(cfg.share_march),
         )
 
         params = init_field_params(jax.random.PRNGKey(cfg.seed), self.static)
@@ -169,7 +170,7 @@ class Trainer:
         for epoch in range(self.epoch + 1, max_epoch + 1):
             self.epoch = epoch
             # no-event loss epoch gate (reference utils.py:548)
-            if hasattr(provider, "no_evs"):
+            if getattr(provider, "noev_coords", None) is not None:
                 provider.use_no_ev = epoch > cfg.epoch_start_noEvLoss
             epoch_losses = []
             for it in range(steps_per_epoch):

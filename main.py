@@ -34,6 +34,13 @@ def get_select_frames(cfg):
         if sf[k] is not None:
             assert np.all(np.diff(sf[k]) > 0), f"{k} must be strictly increasing"
             assert len(np.unique(sf[k])) == len(sf[k]), f"{k} must be unique"
+    # the reference parses exclude_idxs but never consumes it (provider.py
+    # takes only train/val/test); here it actually filters the selections
+    if sf["exclude_idxs"]:
+        ex = set(sf["exclude_idxs"])
+        for k in ("train_idxs", "val_idxs", "test_idxs"):
+            if sf[k] is not None:
+                sf[k] = [i for i in sf[k] if i not in ex]
     return sf
 
 
