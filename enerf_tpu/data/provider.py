@@ -71,30 +71,46 @@ def raw_rdf_from_ngp(pose_ngp, scale):
 # esim on-disk format: loader + writer
 
 
-def load_esim_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1):
-    """Load an esim-format dataset directory.
+def resolve_image_dir(datadir, mode, e2vid=0, images_corrupted=False,
+                      default_dir=None):
+    """Image-source switching (reference provider.py:487-545, 731-735).
 
-    Returns dict(images [F, H, W, C] float32 in [0,1], tss_imgs_ns [F],
-    poses [F, 4, 4] (final ngp frame), intrinsics (fx, fy, cx, cy),
-    hf_ts [K], hf_poses [K, 4, 4] (final frame), events [M, 4]
-    (x, y, ts_ns, pol), event_frame_ids [M]).
+    --e2vid N selects E2VID reconstructions (e2vids/e2vid_upN_*/e2calib*/);
+    images_corrupted selects the images_corrupted/ folder (training only).
+    Returns (dir, kind) with kind in {'clean', 'e2vid', 'corrupted'}.
     """
-    # GT pose list
-    pose_files = glob.glob(os.path.join(datadir, "*poses_all*.txt"))
-    assert pose_files, f"no *poses_all*.txt in {datadir}"
-    quatlist = np.loadtxt(pose_files[0], skiprows=1)
-    assert quatlist.shape[1] == 8
-    hf_ts = quatlist[:, 0]
-    rots = R.from_quat(quatlist[:, 4:8]).as_matrix()
-    hf_raw = get_hom_trafos(rots, quatlist[:, 1:4])  # c2w rdf
+    if e2vid:
+        pats = {
+            "esim": f"e2vids/e2vid_up{e2vid}_*/e2calib/",
+            "eds": f"e2vids/left/e2vid_up{e2vid}_*/e2calib_undistorted/",
+            "tumvie": f"e2vids/e2vid_up{e2vid}_*/e2calib_undistorted/",
+        }
+        pat = pats.get(mode, pats["esim"])
+        hits = sorted(glob.glob(os.path.join(datadir, pat)))
+        assert hits, (
+            f"--e2vid {e2vid}: no reconstruction dir matching {pat} "
+            f"under {datadir}"
+        )
+        return hits[0], "e2vid"
+    if images_corrupted:
+        d = os.path.join(datadir, "images_corrupted")
+        assert os.path.isdir(d), f"images_corrupted=1 but {d} is missing"
+        return d, "corrupted"
+    return default_dir, "clean"
 
-    # images
-    imgdir = os.path.join(datadir, "images")
-    tss_imgs_ns = np.loadtxt(os.path.join(imgdir, "image_stamps_ns.txt"))
+
+def _load_image_stack(imgdir, out_dim_color, downscale, expect=None):
+    """Read sorted png/jpg stack -> [F, H, W, C] float32 in [0, 1]."""
     img_paths = sorted(
-        glob.glob(os.path.join(imgdir, "*.png")) + glob.glob(os.path.join(imgdir, "*.jpg"))
+        glob.glob(os.path.join(imgdir, "*.png"))
+        + glob.glob(os.path.join(imgdir, "*.jpg"))
     )
-    assert len(img_paths) == len(tss_imgs_ns)
+    assert img_paths, f"no images in {imgdir}"
+    if expect is not None:
+        assert len(img_paths) == expect, (
+            f"{imgdir}: {len(img_paths)} images but {expect} timestamps — "
+            "the alternate image source must align with the frame stamps"
+        )
     images = []
     for p in img_paths:
         im = cv2.imread(p, cv2.IMREAD_UNCHANGED)
@@ -109,7 +125,48 @@ def load_esim_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1):
         if out_dim_color == 1:
             im = (im @ np.asarray([0.299, 0.587, 0.114], np.float32))[..., None]
         images.append(im)
-    images = np.stack(images)
+    return np.stack(images)
+
+
+def load_esim_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1,
+                      e2vid=0, images_corrupted=False):
+    """Load an esim-format dataset directory.
+
+    Returns dict(images [F, H, W, C] float32 in [0,1], tss_imgs_ns [F],
+    poses [F, 4, 4] (final ngp frame), intrinsics (fx, fy, cx, cy),
+    hf_ts [K], hf_poses [K, 4, 4] (final frame), events [M, 4]
+    (x, y, ts_ns, pol), event_frame_ids [M]).  With e2vid, `images` are the
+    E2VID reconstructions (the reference also evaluates against them,
+    provider.py:1093-1095); with images_corrupted a separate
+    `train_images` array is returned and `images` stay clean (reference
+    :734-735 uses the corrupted folder only for training).
+    """
+    # GT pose list
+    pose_files = glob.glob(os.path.join(datadir, "*poses_all*.txt"))
+    assert pose_files, f"no *poses_all*.txt in {datadir}"
+    quatlist = np.loadtxt(pose_files[0], skiprows=1)
+    assert quatlist.shape[1] == 8
+    hf_ts = quatlist[:, 0]
+    rots = R.from_quat(quatlist[:, 4:8]).as_matrix()
+    hf_raw = get_hom_trafos(rots, quatlist[:, 1:4])  # c2w rdf
+
+    # images (image-source switching: clean / e2vid / corrupted)
+    clean_dir = os.path.join(datadir, "images")
+    tss_imgs_ns = np.loadtxt(os.path.join(clean_dir, "image_stamps_ns.txt"))
+    imgdir, kind = resolve_image_dir(datadir, "esim", e2vid, images_corrupted,
+                                     default_dir=clean_dir)
+    train_images = None
+    if kind == "e2vid":
+        images = _load_image_stack(imgdir, out_dim_color, downscale,
+                                   expect=len(tss_imgs_ns))
+    elif kind == "corrupted":
+        images = _load_image_stack(clean_dir, out_dim_color, downscale,
+                                   expect=len(tss_imgs_ns))
+        train_images = _load_image_stack(imgdir, out_dim_color, downscale,
+                                         expect=len(tss_imgs_ns))
+    else:
+        images = _load_image_stack(clean_dir, out_dim_color, downscale,
+                                   expect=len(tss_imgs_ns))
     H, W = images.shape[1:3]
 
     # intrinsics from poses_bounds hwf (reference load_intrinsics)
@@ -140,7 +197,7 @@ def load_esim_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1):
     if events.shape[0] and set(np.unique(events[:, 3])) <= {0.0, 1.0}:
         events[:, 3] = events[:, 3] * 2.0 - 1.0
 
-    return {
+    out = {
         "images": images,
         "tss_imgs_ns": tss_imgs_ns,
         "poses": poses,
@@ -152,6 +209,9 @@ def load_esim_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1):
         "H": H,
         "W": W,
     }
+    if train_images is not None:
+        out["train_images"] = train_images
+    return out
 
 
 def save_esim_dataset(data, datadir, scale=0.33):
@@ -211,10 +271,18 @@ class FramesProvider:
     error-map-weighted pixel sampling (utils.py:134-156, 611-632)."""
 
     def __init__(self, images, poses, intrinsics, num_rays=4096,
-                 steps_per_epoch=100, error_map=False, stereo_views=None):
+                 steps_per_epoch=100, error_map=False, stereo_views=None,
+                 rand_pose=-1, rand_radius=2.5):
         # stereo_views: optional list of event-camera view dicts rendered at
         # eval time alongside the frame views (reference provider.py:1087-1091)
         self.stereo_views = stereo_views
+        # rand_pose semantics (reference main_nerf.py:183, wired here unlike
+        # the reference): <0 never, ==0 always, >0 one rand-pose batch every
+        # rand_pose GT batches.  Rand batches carry a full side*side pixel
+        # grid so the trainer can score the rendered image semantically.
+        self.rand_pose = int(rand_pose)
+        self.rand_radius = float(rand_radius)
+        self._batch_i = 0
         self.images = jnp.asarray(images.reshape(images.shape[0], -1, images.shape[-1]))
         self.poses = jnp.asarray(poses, jnp.float32)
         self.train_poses = np.asarray(poses)
@@ -227,7 +295,36 @@ class FramesProvider:
             jnp.ones((images.shape[0], 128 * 128)) if error_map else None
         )
 
+    def _rand_pose_batch(self, key):
+        """Random orbit pose -> full side*side ray grid (no GT images)."""
+        from enerf_tpu.data.rays import get_rays_full
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        side = max(int(np.sqrt(self.num_rays)), 8)
+        r = self.rand_radius * jax.random.uniform(k1, (), minval=1.0, maxval=1.2)
+        theta = jax.random.uniform(k2, (), minval=np.pi / 6, maxval=np.pi / 2)
+        phi = jax.random.uniform(k3, (), minval=0.0, maxval=2 * np.pi)
+        eye = jnp.stack([r * jnp.sin(theta) * jnp.cos(phi),
+                         r * jnp.sin(theta) * jnp.sin(phi),
+                         r * jnp.cos(theta)])
+        # look-at with rdf axes (synthetic.look_at_pose, device-side)
+        f = -eye / jnp.linalg.norm(eye)
+        up = jnp.asarray([0.0, 0.0, 1.0])
+        rt = jnp.cross(f, up)
+        rt = rt / jnp.linalg.norm(rt)
+        d = jnp.cross(f, rt)
+        pose = jnp.eye(4)
+        pose = pose.at[:3, 0].set(rt).at[:3, 1].set(d).at[:3, 2].set(f).at[:3, 3].set(eye)
+        fx = side / (2.0 * np.tan(np.radians(30.0)))
+        ro, rd = get_rays_full(pose, (fx, fx, side / 2.0, side / 2.0), side, side)
+        return {"rays_o": ro, "rays_d": rd, "rand_pose_side": side}
+
     def train_step_batch(self, key):
+        self._batch_i += 1
+        if self.rand_pose == 0 or (
+            self.rand_pose > 0 and self._batch_i % (self.rand_pose + 1) == 0
+        ):
+            return self._rand_pose_batch(jax.random.fold_in(key, 99))
         k1, k2 = jax.random.split(key)
         fi = jax.random.randint(k1, (), 0, self.poses.shape[0])
         emap = None if self.error_map is None else self.error_map[fi]
@@ -466,14 +563,20 @@ def make_providers(cfg, select_frames=None):
         else:
             train = FramesProvider(images, data["poses"], data["intrinsics"],
                                    num_rays=cfg.num_rays,
-                                   error_map=bool(cfg.error_map))
+                                   error_map=bool(cfg.error_map),
+                                   rand_pose=cfg.rand_pose,
+                                   rand_radius=cfg.radius)
         return train, val
 
     if cfg.mode == "esim":
         data = load_esim_dataset(
             cfg.datadir, scale=cfg.scale, out_dim_color=cfg.out_dim_color,
-            downscale=cfg.downscale,
+            downscale=cfg.downscale, e2vid=cfg.e2vid,
+            images_corrupted=bool(cfg.images_corrupted),
         )
+        # images_corrupted trains on the corrupted folder, evals on clean
+        # (reference provider.py:734-735); e2vid replaces both (":1093-1095)
+        train_imgs = data.get("train_images", data["images"])
         sf = select_frames or {}
         tr_idx = sf.get("train_idxs") or list(range(len(data["images"])))
         va_idx = sf.get("val_idxs") or tr_idx[:1]
@@ -492,7 +595,7 @@ def make_providers(cfg, select_frames=None):
                 batch_size_evs=cfg.batch_size_evs,
                 accumulate_evs=bool(cfg.accumulate_evs),
                 acc_max_num_evs=cfg.acc_max_num_evs,
-                frames=None if cfg.event_only else data["images"][tr_idx],
+                frames=None if cfg.event_only else train_imgs[tr_idx],
                 frame_poses=None if cfg.event_only else data["poses"][tr_idx],
                 num_rays=cfg.num_rays,
                 negative_event_sampling=bool(cfg.negative_event_sampling),
@@ -500,9 +603,10 @@ def make_providers(cfg, select_frames=None):
             )
         else:
             train = FramesProvider(
-                data["images"][tr_idx], data["poses"][tr_idx],
+                train_imgs[tr_idx], data["poses"][tr_idx],
                 data["intrinsics"], num_rays=cfg.num_rays,
                 error_map=bool(cfg.error_map),
+                rand_pose=cfg.rand_pose, rand_radius=cfg.radius,
             )
         return train, val
 

@@ -91,24 +91,40 @@ def lpips_available():
 
 
 def compute_lpips(pred, gt, rgb_channels=3):
-    """LPIPS alex+vgg if the package/weights exist; else (None, None)."""
-    if not lpips_available():
-        return None, None
-    import torch
-    import lpips as lpips_mod
+    """LPIPS alex+vgg (reference utils.py:40-41, 1096-1112).
 
-    fn_alex = lpips_mod.LPIPS(net="alex")
-    fn_vgg = lpips_mod.LPIPS(net="vgg")
-    def prep(x):
-        t = torch.from_numpy(np.asarray(x, np.float32))[None].permute(0, 3, 1, 2)
-        t = 2.0 * t - 1.0
-        if rgb_channels == 1:
-            t = t.expand(1, 3, *t.shape[2:])
-        return t
-    with torch.no_grad():
-        a = float(fn_alex(prep(gt), prep(pred)))
-        v = float(fn_vgg(prep(gt), prep(pred)))
-    return a, v
+    Uses the torch lpips package when importable; otherwise the built-in
+    JAX implementation (train/lpips_jax.py) with fixed seeded random
+    features — values then carry the `_rand` label via lpips_label() and
+    are run-to-run comparable but not comparable to torch-lpips numbers.
+    """
+    if lpips_available():
+        import torch
+        import lpips as lpips_mod
+
+        fn_alex = lpips_mod.LPIPS(net="alex")
+        fn_vgg = lpips_mod.LPIPS(net="vgg")
+        def prep(x):
+            t = torch.from_numpy(np.asarray(x, np.float32))[None].permute(0, 3, 1, 2)
+            t = 2.0 * t - 1.0
+            if rgb_channels == 1:
+                t = t.expand(1, 3, *t.shape[2:])
+            return t
+        with torch.no_grad():
+            a = float(fn_alex(prep(gt), prep(pred)))
+            v = float(fn_vgg(prep(gt), prep(pred)))
+        return a, v
+    from enerf_tpu.train.lpips_jax import lpips_distance
+    return (lpips_distance(pred, gt, "alex"), lpips_distance(pred, gt, "vgg"))
+
+
+def lpips_label():
+    """Suffix for eval-log keys: '' for torch/calibrated, '_rand' for the
+    seeded-random-feature fallback."""
+    if lpips_available():
+        return ""
+    from enerf_tpu.train.lpips_jax import lpips_is_calibrated
+    return "" if lpips_is_calibrated() else "_rand"
 
 
 class PSNRMeter:

@@ -48,6 +48,10 @@ class StepStatics(NamedTuple):
     # sample t-values for the second (the poses differ by ~one event
     # spacing) — halves DDA work and correlates the pair's sampling
     share_march: bool = False
+    # rand-pose semantic guidance (the reference's clip_utils role, wired):
+    # a hashable JAX embedder (train/clip_guidance.StubEmbedder or a real
+    # JAX CLIP) — None disables the clip step
+    clip_embedder: Any = None
 
 
 def _render(params, ss, rays_o, rays_d, bg, rng, occ_bitfield=None):
@@ -152,6 +156,29 @@ def event_loss_fn(params, ss, batch, rng, occ=None):
         aux["loss_no_evs"] = lne
 
     return loss, aux
+
+
+def clip_loss_fn(params, ss, batch, rng, text_feat, side, occ=None):
+    """Semantic guidance on a random-pose render (clip_utils.py role):
+    render a side*side grid, embed, 1 - cos against the text feature.
+    Differentiable through the whole render."""
+    k_r = rng
+    C = ss.out_dim_color
+    out = _render(params, ss, batch["rays_o"], batch["rays_d"],
+                  jnp.ones((1, C)), k_r, occ)
+    img = out["image"].reshape(side, side, C)
+    loss = 1.0 - jnp.sum(ss.clip_embedder(img) * text_feat)
+    return loss, {"loss_clip": loss}
+
+
+@functools.partial(jax.jit, static_argnames=("ss", "opt", "side"),
+                   donate_argnums=(0,))
+def train_step_clip(state, batch, rng, ss, opt, text_feat, side, occ=None):
+    (loss, aux), grads = jax.value_and_grad(clip_loss_fn, has_aux=True)(
+        state.params, ss, batch, rng, text_feat, side, occ
+    )
+    new_state = apply_updates(state, grads, opt)
+    return new_state, {"loss": loss, "loss_clip": aux["loss_clip"]}
 
 
 @functools.partial(jax.jit, static_argnames=("ss", "opt"), donate_argnums=(0,))

@@ -79,6 +79,14 @@ class Trainer:
             compact_frac=cfg.compact_frac,
             share_march=bool(cfg.share_march),
         )
+        # rand-pose CLIP guidance (reference main_nerf.py:183 + clip_utils,
+        # wired for real here — see train/clip_guidance.py)
+        self.clip_guidance = None
+        if cfg.rand_pose >= 0 and cfg.clip_text:
+            from enerf_tpu.train.clip_guidance import CLIPGuidance
+            self.clip_guidance = CLIPGuidance(cfg.clip_text)
+            self.ss = self.ss._replace(
+                clip_embedder=self.clip_guidance.embedder)
 
         params = init_field_params(jax.random.PRNGKey(cfg.seed), self.static)
         self.state, self.opt = init_train_state(params, cfg.lr, cfg.iters)
@@ -136,6 +144,17 @@ class Trainer:
 
     def _step_fn(self, batch, rng):
         occ = self.occupancy.occ_bitfield if self.occupancy is not None else None
+        if "rand_pose_side" in batch:
+            from enerf_tpu.train.step import train_step_clip
+            assert self.clip_guidance is not None, (
+                "rand_pose batches need --clip_text (CLIP guidance)"
+            )
+            side = batch.pop("rand_pose_side")
+            self.state, aux = train_step_clip(
+                self.state, batch, rng, self.ss, self.opt,
+                self.clip_guidance.text_feat, side, occ,
+            )
+            return aux
         if self._sharded_step is not None:
             from enerf_tpu.parallel.mesh import shard_batch
             batch = shard_batch(batch, self.mesh)
@@ -272,8 +291,9 @@ class Trainer:
             results["ssim"] = float(np.mean(ssims))
             la, lv = M.compute_lpips(preds[have_gt[0]], gts[have_gt[0]],
                                      self.static.out_dim_color)
-            results["lpips_alex"] = la
-            results["lpips_vgg"] = lv
+            suf = M.lpips_label()
+            results[f"lpips_alex{suf}"] = la
+            results[f"lpips_vgg{suf}"] = lv
 
         if self.cfg.event_only and have_gt:
             # affine log correction over ALL val images (utils.py:1170-1265)

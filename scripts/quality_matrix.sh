@@ -24,7 +24,7 @@ COMMON="--mode synthetic --events 1 --event_only 1 --out_dim_color 1
 run() {
   name=$1; shift
   echo "=== RUN $name: $* ==="
-  timeout 3000 python /root/repo/main.py $COMMON --expname "$name" "$@" \
+  timeout 4200 python /root/repo/main.py $COMMON --expname "$name" "$@" \
     > "$OUT/$name.log" 2>&1
   echo "=== $name done (rc=$?) ==="
   grep "\[eval\]" "$OUT/$name.log" | tail -3

@@ -113,3 +113,30 @@ def test_negative_sampling_is_device_resident():
         assert np.isfinite(np.asarray(b[k])).all()
     # no-event pixels really had no events in their chunk window
     assert int(prov.noev_count.min()) >= 0
+
+
+def test_lpips_jax_metric_properties():
+    """Built-in LPIPS: zero at identity, monotone under growing distortion,
+    deterministic across calls (fixed seed)."""
+    from enerf_tpu.train.lpips_jax import lpips_distance
+    from enerf_tpu.train import metrics as M
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    base = img * 0 + img  # copy
+    d0 = lpips_distance(img, base)
+    assert d0 < 1e-6
+
+    noise = rng.normal(0, 1, img.shape).astype(np.float32)
+    d_small = lpips_distance(img, np.clip(img + 0.05 * noise, 0, 1))
+    d_big = lpips_distance(img, np.clip(img + 0.3 * noise, 0, 1))
+    assert 0 < d_small < d_big
+
+    # deterministic
+    assert lpips_distance(img, np.clip(img + 0.05 * noise, 0, 1)) == d_small
+
+    # grayscale path + the metrics entry point return real numbers now
+    g = img[..., :1]
+    a, v = M.compute_lpips(g + 0.1, g, rgb_channels=1)
+    assert a is not None and v is not None and np.isfinite([a, v]).all()
+    assert M.lpips_label() == "_rand"
