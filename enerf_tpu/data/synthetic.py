@@ -142,7 +142,8 @@ def _lin_log(x, thres=20.0):
 
 
 def simulate_events(H=64, W=64, n_frames=40, C=0.2, radius=2.5, height=0.8,
-                    turns=0.5, fovy_deg=60.0, seed=0, rich=False):
+                    turns=0.5, fovy_deg=60.0, seed=0, rich=False,
+                    cache_dir=None):
     """Simulate an event stream from the orbiting camera.
 
     Returns dict with:
@@ -153,14 +154,33 @@ def simulate_events(H=64, W=64, n_frames=40, C=0.2, radius=2.5, height=0.8,
       intrinsics: (fx, fy, cx, cy)
       pose_fn: callable t -> 4x4 c2w (the continuous trajectory)
       C: contrast threshold used
+
+    Deterministic in its arguments, so results are cached on disk
+    (cache_dir, default $ENERF_SYN_CACHE or /tmp/enerf_syn_cache) — the
+    GT renders dominate dataset-build time at quality-run sizes.
     """
+    import os
     intr = default_intrinsics(H, W, fovy_deg)
     ts = np.linspace(0.0, 1.0, n_frames)
+    poses = np.stack([circle_pose(t, radius, height, turns) for t in ts])
+
+    cache_dir = cache_dir or os.environ.get(
+        "ENERF_SYN_CACHE", "/tmp/enerf_syn_cache")
+    key = f"{H}x{W}_f{n_frames}_C{C}_r{radius}_h{height}_t{turns}" \
+          f"_fov{fovy_deg}_s{seed}_rich{int(rich)}_v1"
+    cpath = os.path.join(cache_dir, key + ".npz")
+    if os.path.exists(cpath):
+        z = np.load(cpath)
+        def pose_fn(t):
+            return circle_pose(t, radius, height, turns)
+        return {"events": z["events"], "frames": z["frames"],
+                "frame_ts": ts, "poses": poses, "intrinsics": intr,
+                "pose_fn": pose_fn, "C": C, "H": H, "W": W}
+
     frames = np.stack(
         [render_gt(circle_pose(t, radius, height, turns), intr, H, W,
                    grayscale=True, rich=rich) for t in ts]
     )
-    poses = np.stack([circle_pose(t, radius, height, turns) for t in ts])
 
     # per-pixel linlog intensity over time
     ll = _lin_log(frames[..., 0] * 255.0)  # [F, H, W]
@@ -191,6 +211,12 @@ def simulate_events(H=64, W=64, n_frames=40, C=0.2, radius=2.5, height=0.8,
         ev = ev[np.argsort(ev[:, 2], kind="stable")]
     else:
         ev = np.zeros((0, 4))
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(cpath, events=ev, frames=frames)
+    except OSError:
+        pass  # cache is best-effort
 
     def pose_fn(t):
         return circle_pose(t, radius, height, turns)
