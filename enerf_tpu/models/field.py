@@ -42,6 +42,7 @@ class FieldStatic:
             self.out_dim_color, self.disable_view_direction, self.bg_radius,
             self.num_layers_bg, self.hidden_dim_bg, str(self.compute_dtype),
             self.encoding, self.grid_meta, self.use_fused_head,
+            self.fast_table_grad,
         )
 
     def __hash__(self):
@@ -72,9 +73,15 @@ class FieldStatic:
         encoding="hashgrid",  # 'hashgrid' (exact reference parity) or
                               # 'blockgrid' (TPU-fast block-packed rows)
         use_fused_head=False,  # Pallas fused sigma+color head (--ff role)
+        fast_table_grad=False,  # Pallas VMEM-accum table backward
+                               # (blockgrid only; zero position grads — see
+                               # ops/scatter_accum.block_encode_fast).
+                               # Default off until TPU-validated; bench.py
+                               # enables it explicitly.
         compute_dtype=jnp.float32,
     ):
         self.use_fused_head = use_fused_head
+        self.fast_table_grad = fast_table_grad
         self.bound = float(bound)
         self.num_layers = num_layers
         self.hidden_dim = hidden_dim
@@ -189,16 +196,23 @@ def _dir_encode(static, d):
     return enc
 
 
+def _encode(params, static, x01):
+    table = params["hash_table"]
+    if static.encoding == "blockgrid":
+        if static.fast_table_grad:
+            from enerf_tpu.ops.scatter_accum import block_encode_fast
+            return block_encode_fast(x01, table, static.grid_meta)
+        return block_encode(x01, table, static.grid_meta)
+    return hash_encode(x01, table, static.grid_meta)
+
+
 def field_density(params, static, x):
     """x: [N, 3] in [-bound, bound] -> (sigma [N], geo_feat [N, G])."""
     x01 = (x + static.bound) / (2.0 * static.bound)
     # table stays f32: the gather is address-rate-bound (f32 == bf16 speed,
     # BENCH_NOTES.md) and the backward scatter-add then accumulates in f32
     table = params["hash_table"]
-    if static.encoding == "blockgrid":
-        enc = block_encode(x01, table, static.grid_meta)
-    else:
-        enc = hash_encode(x01, table, static.grid_meta)
+    enc = _encode(params, static, x01)
     h = _mlp(params, "sigma", static.num_layers, enc, static.compute_dtype)
     sigma = trunc_exp(h[..., 0].astype(jnp.float32))
     geo_feat = h[..., 1:]
@@ -232,12 +246,8 @@ def field_forward_fused(params, static, x, d):
         "fused head supports the reference topology (2 sigma / 3 color layers)"
     )
     x01 = (x + static.bound) / (2.0 * static.bound)
-    table = params["hash_table"]  # f32, see field_density
     cd = static.compute_dtype
-    if static.encoding == "blockgrid":
-        enc = block_encode(x01, table, static.grid_meta)
-    else:
-        enc = hash_encode(x01, table, static.grid_meta)
+    enc = _encode(params, static, x01)
     denc = _dir_encode(static, d)
     sigma, rgb = fused_field_head(
         enc.astype(cd), denc.astype(cd),

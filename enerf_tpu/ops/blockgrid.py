@@ -120,18 +120,13 @@ def init_block_table(key, meta, dtype=jnp.float32):
     )
 
 
-def _encode_chunk(x, table, meta):
-    """[n, 3] in [0, 1] (pre-clipped) -> [n, L, C].
+def block_address(x, meta):
+    """Block addressing for pre-clipped [n, 3] positions in [0, 1].
 
-    Row layout is channel-planar: row[c * 125 + p] with p = (px*5+py)*5+pz,
-    so each channel's contraction runs over a contiguous 125-wide lane axis
-    (interleaved [125, C] layouts leave the VPU lanes ~60x underfilled).
-    The trilinear weight vector is built directly on a [125] iota —
-    elementwise, fusable, never materialized separately.
+    Returns (rid_local [n, L] int32 row id within each level's table,
+    lo [n, L, 3] int32 cell offset in the block, frac [n, L, 3] f32).
+    Shared by the forward encode and the fast Pallas backward.
     """
-    n = x.shape[0]
-    L, C = meta.num_levels, meta.level_dim
-
     pos = x[:, None, :] * meta._scales_dev[None, :, None] + 0.5  # [n, L, 3]
     pg = jnp.floor(pos)
     frac = pos - pg
@@ -147,7 +142,24 @@ def _encode_chunk(x, table, meta):
     h = h ^ (bu[..., 1] * jnp.uint32(_PRIMES[1]))
     h = h ^ (bu[..., 2] * jnp.uint32(_PRIMES[2]))
     rid = jnp.where(meta._hashed_dev[None, :], h, dense.astype(jnp.uint32))
-    rid = (rid % meta._rows_dev[None, :]).astype(jnp.int32) + meta._offsets_dev[None, :]
+    rid = (rid % meta._rows_dev[None, :]).astype(jnp.int32)
+    return rid, lo, frac
+
+
+def _encode_chunk(x, table, meta):
+    """[n, 3] in [0, 1] (pre-clipped) -> [n, L, C].
+
+    Row layout is channel-planar: row[c * 125 + p] with p = (px*5+py)*5+pz,
+    so each channel's contraction runs over a contiguous 125-wide lane axis
+    (interleaved [125, C] layouts leave the VPU lanes ~60x underfilled).
+    The trilinear weight vector is built directly on a [125] iota —
+    elementwise, fusable, never materialized separately.
+    """
+    n = x.shape[0]
+    L, C = meta.num_levels, meta.level_dim
+
+    rid_local, lo, frac = block_address(x, meta)
+    rid = rid_local + meta._offsets_dev[None, :]
 
     # per-cell weights on a flat [125] iota: W[p] = wx(px) * wy(py) * wz(pz)
     p = np.arange(ROW_CELLS)

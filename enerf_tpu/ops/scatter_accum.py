@@ -1,0 +1,207 @@
+"""Pallas table-gradient accumulation for the block-packed encoder.
+
+The block-grid backward is the framework's top kernel gap (BENCH_NOTES.md):
+XLA lowers the gather's VJP to an HBM scatter-add at ~30 M rows/s — a
+latency-bound random read-modify-write per 1 KB row.  The reference's CUDA
+equivalent is the contended atomicAdd loop (gridencoder.cu:225-311).
+
+TPU design: one level's gradient table fits in VMEM (<= 8192 rows x 256
+f32 = 8.4 MB < 16 MB), so accumulation can be an on-chip read-modify-write:
+
+  grid = (levels, sample_chunks)   # chunks sequential ("arbitrary")
+  scratch acc[8192, 256] (VMEM)    # persists across a level's chunks
+  per chunk: build the [B, 256] gradient rows from (g, lo, frac) on the
+  VPU (trilinear weights from an iota, outer product with the 2 feature
+  grads) and serially accumulate acc[rid[i]] += rows[i] with rid streamed
+  through SMEM; write acc to HBM once per level.
+
+HBM traffic becomes: meta stream (M x 32 B) + one table-sized write —
+instead of M random 1 KB read-modify-writes.
+
+The packed meta layout per (sample, level) is 8 f32 lanes:
+  [lo_x, lo_y, lo_z, g_0, g_1, frac_x, frac_y, frac_z]
+(integers carried as f32; exact below 2^24).
+"""
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from enerf_tpu.ops.blockgrid import BLOCK, HALO, ROW_CELLS
+
+ROWS_MAX = 8192      # max rows per level (2^19 / BLOCK^3)
+WIDTH = 256          # padded row width (2 channels x 125 cells -> 250)
+CHUNK = 1024         # samples per grid step
+
+
+def _kernel(rid_ref, meta_ref, out_ref, acc_ref):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    meta = meta_ref[0]            # [CHUNK, 8] f32
+    B = meta.shape[0]
+    lo = meta[:, 0:3]             # [B, 3]
+    g0 = meta[:, 3]
+    g1 = meta[:, 4]
+    frac = meta[:, 5:8]
+
+    # per-cell trilinear weights W[b, p], p < 125 (lanes padded to 128)
+    p = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+    px = (p // (HALO * HALO)).astype(jnp.float32)
+    py = ((p // HALO) % HALO).astype(jnp.float32)
+    pz = (p % HALO).astype(jnp.float32)
+    valid = (p < ROW_CELLS).astype(jnp.float32)
+
+    def axis_w(pidx, d):
+        l = lo[:, d][:, None]
+        f = frac[:, d][:, None]
+        return (jnp.where(pidx == l, 1.0 - f, 0.0)
+                + jnp.where(pidx == l + 1.0, f, 0.0))
+
+    W = axis_w(px, 0) * axis_w(py, 1) * axis_w(pz, 2) * valid  # [B, 128]
+    rows = jnp.concatenate([g0[:, None] * W, g1[:, None] * W], axis=1)
+    # rows: [B, 256] — channel-planar layout row[c*125+p] with p>=125 lanes
+    # zero (table row width 250; lanes 125..127 and 253..255 are padding
+    # that must map onto zero columns — see the host-side depad)
+
+    def body(i, _):
+        r = rid_ref[0, i]
+        row_i = jax.lax.dynamic_slice_in_dim(rows, i, 1, 0)  # [1, 256]
+        acc_ref[pl.ds(r, 1), :] += row_i
+        return _
+
+    jax.lax.fori_loop(0, B, body, 0, unroll=4)
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        out_ref[0] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels",))
+def block_table_grad_pallas(rid, meta, n_levels):
+    """Accumulate per-level gradient tables.
+
+    rid: [L, M] int32 row ids (invalid lanes -> ROWS_MAX - 1 with zero g).
+    meta: [L, M, 8] f32 packed (lo, g, frac).
+    Returns [L, ROWS_MAX, WIDTH] f32.
+    """
+    L, M = rid.shape
+    nj = -(-M // CHUNK)
+    pad = nj * CHUNK - M
+    if pad:
+        rid = jnp.pad(rid, ((0, 0), (0, pad)), constant_values=ROWS_MAX - 1)
+        meta = jnp.pad(meta, ((0, 0), (0, pad), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(L, nj),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK), lambda l, j: (l, j),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CHUNK, 8), lambda l, j: (l, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ROWS_MAX, WIDTH), lambda l, j: (l, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((ROWS_MAX, WIDTH), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, ROWS_MAX, WIDTH), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=os.environ.get("ENERF_TPU_INTERPRET", "0") == "1",
+    )(rid, meta)
+
+
+def block_table_grad_reference(rid, meta, total_rows, offsets):
+    """jnp oracle: the same accumulation via XLA scatter-add.
+
+    Returns the flat [total_rows, 250] gradient (depadded).
+    """
+    L, M = rid.shape
+    lo = meta[..., 0:3]
+    g = meta[..., 3:5]
+    frac = meta[..., 5:8]
+    p = np.arange(ROW_CELLS)
+    pxs = jnp.asarray(p // (HALO * HALO), jnp.float32)
+    pys = jnp.asarray((p // HALO) % HALO, jnp.float32)
+    pzs = jnp.asarray(p % HALO, jnp.float32)
+
+    def axis_w(pidx, d):
+        l = lo[..., d][..., None]
+        f = frac[..., d][..., None]
+        return (jnp.where(pidx == l, 1.0 - f, 0.0)
+                + jnp.where(pidx == l + 1.0, f, 0.0))
+
+    W = axis_w(pxs, 0) * axis_w(pys, 1) * axis_w(pzs, 2)  # [L, M, 125]
+    rows = jnp.concatenate(
+        [g[..., 0:1] * W, g[..., 1:2] * W], axis=-1)  # [L, M, 250]
+    flat_id = rid + jnp.asarray(offsets, jnp.int32)[:, None]
+    out = jnp.zeros((total_rows, 2 * ROW_CELLS), jnp.float32)
+    return out.at[flat_id.reshape(-1)].add(rows.reshape(L * M, -1),
+                                           mode="drop")
+
+
+def depad_level_grads(per_level, meta_obj):
+    """[L, ROWS_MAX, WIDTH] kernel output -> flat [total_rows, 250] grad."""
+    L = per_level.shape[0]
+    parts = []
+    for l in range(L):
+        rows_l = int(meta_obj.n_rows[l])
+        gl = per_level[l, :rows_l]
+        parts.append(jnp.concatenate(
+            [gl[:, :ROW_CELLS], gl[:, 128:128 + ROW_CELLS]], axis=1))
+    return jnp.concatenate(parts, axis=0)
+
+
+# ----------------------------------------------------------------------------
+# custom-VJP encoder wrapper using the kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def block_encode_fast(x01, table, meta):
+    """block_encode with the Pallas VMEM-accumulation table backward.
+
+    Contract: gradients w.r.t. POSITIONS are zero (the training graph
+    never needs them — rays are data, not parameters; use plain
+    block_encode / hashgrid for pose-refinement workloads).
+    """
+    from enerf_tpu.ops.blockgrid import block_encode
+    return block_encode(x01, table, meta)
+
+
+def _bef_fwd(x01, table, meta):
+    from enerf_tpu.ops.blockgrid import block_encode
+    return block_encode(x01, table, meta), x01
+
+
+def _bef_bwd(meta, x01, g_out):
+    from enerf_tpu.ops.blockgrid import block_address
+    assert meta.level_dim == 2, "fast backward supports level_dim == 2"
+    N = x01.shape[0]
+    L = meta.num_levels
+    x = jnp.clip(x01.astype(jnp.float32), 0.0, 1.0)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)
+    rid, lo, frac = block_address(x, meta)
+    g = jnp.where(oob[:, None, None], 0.0,
+                  g_out.reshape(N, L, 2).astype(jnp.float32))
+    meta8 = jnp.concatenate([lo.astype(jnp.float32), g, frac], axis=-1)
+    per_level = block_table_grad_pallas(
+        rid.T, jnp.transpose(meta8, (1, 0, 2)), L)
+    gtab = depad_level_grads(per_level, meta)
+    return jnp.zeros_like(x01), gtab
+
+
+block_encode_fast.defvjp(_bef_fwd, _bef_bwd)
