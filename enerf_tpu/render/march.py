@@ -75,11 +75,19 @@ def march_rays(
     dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / H
 
     inv_d = 1.0 / rays_d
-    occ_flat = occ_bitfield.reshape(-1)
     cas = occ_bitfield.shape[0]
-    occ_super = occ_bitfield.reshape(cas, HS, SUPER, HS, SUPER, HS, SUPER).any(
-        axis=(2, 4, 6)
-    ).reshape(-1)  # [CAS * HS^3]
+    # Pack each 4^3 superblock's 64 cell-occupancy bits into one [2]-uint32
+    # row: the DDA lookup then needs ONE 8-byte gather per step (cell bit +
+    # superblock-any in the same row) instead of two separate gathers —
+    # march lookups are address-rate-bound on TPU (BENCH_NOTES.md).
+    occ3 = occ_bitfield.reshape(cas, HS, SUPER, HS, SUPER, HS, SUPER)
+    occ_cells = occ3.transpose(0, 1, 3, 5, 2, 4, 6).reshape(-1, SUPER ** 3)
+    bitw = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    occ_packed = jnp.stack(
+        [jnp.sum(occ_cells[:, :32].astype(jnp.uint32) * bitw, axis=-1),
+         jnp.sum(occ_cells[:, 32:].astype(jnp.uint32) * bitw, axis=-1)],
+        axis=-1,
+    )  # [CAS * HS^3, 2] uint32
 
     t0 = nears
     if perturb:
@@ -99,17 +107,18 @@ def march_rays(
         nxyz = jnp.clip(
             (0.5 * (pos / mip_bound[:, None] + 1.0) * H).astype(jnp.int32), 0, H - 1
         )
-        cell = (
-            lvl * (H * H * H)
-            + nxyz[:, 0] * (H * H) + nxyz[:, 1] * H + nxyz[:, 2]
-        )
         sxyz = nxyz // SUPER
         scell = (
             lvl * (HS * HS * HS)
             + sxyz[:, 0] * (HS * HS) + sxyz[:, 1] * HS + sxyz[:, 2]
         )
-        occ_s = occ_super[scell]
-        occ = occ_s & occ_flat[cell]
+        rows = occ_packed[scell]  # [N, 2] uint32 — the ONLY gather
+        lx = nxyz - sxyz * SUPER  # cell coords within the superblock
+        b = lx[:, 0] * (SUPER * SUPER) + lx[:, 1] * SUPER + lx[:, 2]
+        word = jnp.where(b < 32, rows[:, 0], rows[:, 1])
+        occ_bit = (word >> (b % 32).astype(jnp.uint32)) & jnp.uint32(1)
+        occ_s = (rows[:, 0] | rows[:, 1]) != 0
+        occ = occ_bit != 0
 
         def boundary(nc, grid_h, block):
             # DDA distance to the next (super)voxel boundary
