@@ -6,18 +6,38 @@ occupancy march (renderer.py:281, max_steps=1024), which this bench mirrors
 with the TPU-native march renderer + block-packed encoder + bf16 compute —
 one full event-mode training step (two renders + backward + Adam update).
 
-The reference publishes no numbers (BASELINE.md); vs_baseline uses an
-estimated anchor for the reference on its tested RTX A4000: ~30k-ray event
-steps at ~3 it/s => ~90k rays/s fwd+bwd.  Prints ONE JSON line.
+Units: RAY-RENDERS per second — each event pair's two renders both count
+(the reference's spiral1_enerf step = 30096 pairs = 60192 ray-renders).
+
+The reference publishes no numbers (BASELINE.md).  vs_baseline divides by
+the CALIBRATED reference anchor in BASELINE_CALIBRATION.json (produced by
+scripts/calibrate_baseline.py): the realistic eager-torch A4000 estimate
+for the reference's production run() event step, bracketed by a measured
+CPU lower bound and an ideal-kernel roofline upper bound — the full
+derivation chain is recorded in that file.  Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-BASELINE_RAYS_S = 90_000.0  # estimated reference anchor (see docstring)
+_FALLBACK_ANCHOR = 157_000.0
+
+
+def _baseline_anchor():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_CALIBRATION.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["anchor_ray_renders_per_s_fwd_bwd"])
+    except (OSError, KeyError, ValueError):
+        return _FALLBACK_ANCHOR
+
+
+BASELINE_RAYS_S = _baseline_anchor()
 
 
 def main():

@@ -39,7 +39,8 @@ WIDTH = 256          # padded row width (2 channels x 125 cells -> 250)
 CHUNK = 1024         # samples per grid step
 
 
-def _kernel(rid_ref, meta_ref, out_ref, acc_ref):
+def _kernel(rid_ref, meta_ref, out_ref, acc_ref, rows_ref, sem):
+    l = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -68,22 +69,27 @@ def _kernel(rid_ref, meta_ref, out_ref, acc_ref):
                 + jnp.where(pidx == l + 1.0, f, 0.0))
 
     W = axis_w(px, 0) * axis_w(py, 1) * axis_w(pz, 2) * valid  # [B, 128]
-    rows = jnp.concatenate([g0[:, None] * W, g1[:, None] * W], axis=1)
     # rows: [B, 256] — channel-planar layout row[c*125+p] with p>=125 lanes
     # zero (table row width 250; lanes 125..127 and 253..255 are padding
-    # that must map onto zero columns — see the host-side depad)
+    # that must map onto zero columns — see the host-side depad).  Staged
+    # through a VMEM scratch so the serial loop can dynamic-slice a ref
+    # (Mosaic has no dynamic_slice on values).
+    rows_ref[:] = jnp.concatenate([g0[:, None] * W, g1[:, None] * W], axis=1)
 
     def body(i, _):
-        r = rid_ref[0, i]
-        row_i = jax.lax.dynamic_slice_in_dim(rows, i, 1, 0)  # [1, 256]
-        acc_ref[pl.ds(r, 1), :] += row_i
+        r = rid_ref[0, 0, i // 128, i % 128]
+        acc_ref[pl.ds(r, 1), :] += rows_ref[pl.ds(i, 1), :]
         return _
 
-    jax.lax.fori_loop(0, B, body, 0, unroll=4)
+    jax.lax.fori_loop(0, B, body, 0)
 
     @pl.when(j == nj - 1)
     def _flush():
-        out_ref[0] = acc_ref[:]
+        # out lives in HBM (a VMEM out block would blow the 16 MB budget
+        # next to the accumulator); one explicit DMA per level
+        cp = pltpu.make_async_copy(acc_ref, out_ref.at[l], sem)
+        cp.start()
+        cp.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels",))
@@ -100,19 +106,23 @@ def block_table_grad_pallas(rid, meta, n_levels):
     if pad:
         rid = jnp.pad(rid, ((0, 0), (0, pad)), constant_values=ROWS_MAX - 1)
         meta = jnp.pad(meta, ((0, 0), (0, pad), (0, 0)))
+    # SMEM blocks need (8, 128)-aligned trailing dims: carry the chunk's
+    # row ids as an [8, 128] tile
+    rid = rid.reshape(L, nj, 8, CHUNK // 8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(L, nj),
         in_specs=[
-            pl.BlockSpec((1, CHUNK), lambda l, j: (l, j),
+            pl.BlockSpec((1, 1, 8, CHUNK // 8), lambda l, j: (l, j, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, CHUNK, 8), lambda l, j: (l, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ROWS_MAX, WIDTH), lambda l, j: (l, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((ROWS_MAX, WIDTH), jnp.float32)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.VMEM((ROWS_MAX, WIDTH), jnp.float32),
+                        pltpu.VMEM((CHUNK, WIDTH), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
         _kernel,
