@@ -42,7 +42,7 @@ class FieldStatic:
             self.out_dim_color, self.disable_view_direction, self.bg_radius,
             self.num_layers_bg, self.hidden_dim_bg, str(self.compute_dtype),
             self.encoding, self.grid_meta, self.use_fused_head,
-            self.fast_table_grad,
+            self.fast_table_grad, self.grid_block,
         )
 
     def __hash__(self):
@@ -70,6 +70,7 @@ class FieldStatic:
         base_resolution=16,
         log2_hashmap_size=19,
         gridtype="hash",
+        grid_block=4,         # blockgrid row geometry (4: 1KB rows, 3: 512B)
         encoding="hashgrid",  # 'hashgrid' (exact reference parity) or
                               # 'blockgrid' (TPU-fast block-packed rows)
         use_fused_head=False,  # Pallas fused sigma+color head (--ff role)
@@ -96,6 +97,7 @@ class FieldStatic:
         self.hidden_dim_bg = hidden_dim_bg
         self.compute_dtype = compute_dtype
         self.encoding = encoding
+        self.grid_block = int(grid_block)
 
         # reference network.py:36: desired_resolution = 2048 * bound
         if encoding == "blockgrid":
@@ -105,6 +107,7 @@ class FieldStatic:
                 base_resolution=base_resolution,
                 log2_hashmap_size=log2_hashmap_size,
                 desired_resolution=2048 * max(self.bound, 1.0),
+                block=self.grid_block,
             )
         else:
             self.grid_meta = HashGridMeta(

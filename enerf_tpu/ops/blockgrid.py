@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 _PRIMES = (1, 2654435761, 805459861)
+# default block geometry (meta.block overrides): 4^3 cells/row + halo
 BLOCK = 4
 HALO = 5
 ROW_CELLS = HALO ** 3  # 125
@@ -45,7 +46,7 @@ class BlockGridMeta:
     def _key(self):
         return (
             self.num_levels, self.level_dim, self.per_level_scale,
-            self.base_resolution, self.log2_hashmap_size,
+            self.base_resolution, self.log2_hashmap_size, self.block,
         )
 
     def __hash__(self):
@@ -62,7 +63,15 @@ class BlockGridMeta:
         base_resolution=16,
         log2_hashmap_size=19,
         desired_resolution=None,
+        block=BLOCK,
     ):
+        # block geometry: block^3 cells per row + one-cell halo.  block=4
+        # (125-cell rows, 1 KB f32) maximizes cells/gather; block=3
+        # (64-cell rows, 512 B — the widest 'free' gather width AND half
+        # the backward scatter bytes) trades param locality for bandwidth.
+        self.block = int(block)
+        self.halo = self.block + 1
+        self.row_cells = self.halo ** 3
         if desired_resolution is not None and num_levels > 1:
             per_level_scale = float(
                 np.exp2(np.log2(desired_resolution / base_resolution) / (num_levels - 1))
@@ -77,14 +86,16 @@ class BlockGridMeta:
 
         S = np.log2(self.per_level_scale)
         H = self.base_resolution
-        # cap rows so hashed levels hold ~the reference's entry budget
-        max_rows = max(2 ** self.log2_hashmap_size // (BLOCK ** 3), 1)
+        BLK = self.block
+        # cap rows so hashed levels hold ~2x the reference's entry budget
+        # independent of block size (block=4: 8192 rows x 125 cells)
+        max_rows = max((2 ** self.log2_hashmap_size * 128) // (64 * self.row_cells), 1)
 
         scales, resolutions, nbs, n_rows, hashed, offsets = [], [], [], [], [], [0]
         for lvl in range(self.num_levels):
             scale = np.exp2(lvl * S) * H - 1.0
             res = int(np.ceil(scale)) + 1
-            nb = (res + 1 + BLOCK - 1) // BLOCK  # blocks per dim (corners <= res)
+            nb = (res + 1 + BLK - 1) // BLK  # blocks per dim (corners <= res)
             dense_rows = nb ** 3
             is_hashed = dense_rows > max_rows
             rows = max_rows if is_hashed else dense_rows
@@ -110,10 +121,10 @@ class BlockGridMeta:
 
 
 def init_block_table(key, meta, dtype=jnp.float32):
-    """[total_rows, 125 * C] parameters, U(-1e-4, 1e-4) like the reference."""
+    """[total_rows, row_cells * C] parameters, U(-1e-4, 1e-4) like the reference."""
     return jax.random.uniform(
         key,
-        (meta.total_rows, ROW_CELLS * meta.level_dim),
+        (meta.total_rows, meta.row_cells * meta.level_dim),
         dtype=dtype,
         minval=-1e-4,
         maxval=1e-4,
@@ -131,8 +142,8 @@ def block_address(x, meta):
     pg = jnp.floor(pos)
     frac = pos - pg
     pg = pg.astype(jnp.int32)
-    b = pg // BLOCK                      # block coords [n, L, 3]
-    lo = pg - b * BLOCK                  # [n, L, 3] in [0, 3]
+    b = pg // meta.block                 # block coords [n, L, 3]
+    lo = pg - b * meta.block             # [n, L, 3] in [0, block-1]
 
     # row index: dense linear or xor-prime block hash (gridencoder.cu:34-50)
     nb = meta._nbs_dev[None, :]          # [1, L]
@@ -161,11 +172,13 @@ def _encode_chunk(x, table, meta):
     rid_local, lo, frac = block_address(x, meta)
     rid = rid_local + meta._offsets_dev[None, :]
 
-    # per-cell weights on a flat [125] iota: W[p] = wx(px) * wy(py) * wz(pz)
-    p = np.arange(ROW_CELLS)
-    pxs = jnp.asarray(p // (HALO * HALO), jnp.int32)      # [125]
-    pys = jnp.asarray((p // HALO) % HALO, jnp.int32)
-    pzs = jnp.asarray(p % HALO, jnp.int32)
+    # per-cell weights on a flat [row_cells] iota:
+    # W[p] = wx(px) * wy(py) * wz(pz)
+    HA, RC = meta.halo, meta.row_cells
+    p = np.arange(RC)
+    pxs = jnp.asarray(p // (HA * HA), jnp.int32)
+    pys = jnp.asarray((p // HA) % HA, jnp.int32)
+    pzs = jnp.asarray(p % HA, jnp.int32)
 
     def axis_w(pidx, d):
         l = lo[..., d][..., None]                         # [n, L, 1]
@@ -177,7 +190,7 @@ def _encode_chunk(x, table, meta):
     rows = table[rid]                                     # [n, L, C*125] gather
     W = W.astype(rows.dtype)
     feats = [
-        jnp.sum(W * rows[..., c * ROW_CELLS : (c + 1) * ROW_CELLS], axis=-1)
+        jnp.sum(W * rows[..., c * RC : (c + 1) * RC], axis=-1)
         for c in range(C)
     ]
     return jnp.stack(feats, axis=-1)                      # [n, L, C]

@@ -34,77 +34,91 @@ from jax.experimental.pallas import tpu as pltpu
 
 from enerf_tpu.ops.blockgrid import BLOCK, HALO, ROW_CELLS
 
-ROWS_MAX = 8192      # max rows per level (2^19 / BLOCK^3)
-WIDTH = 256          # padded row width (2 channels x 125 cells -> 250)
 CHUNK = 1024         # samples per grid step
 
 
-def _kernel(rid_ref, meta_ref, out_ref, acc_ref, rows_ref, sem):
-    l = pl.program_id(0)
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
-
-    @pl.when(j == 0)
-    def _zero():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    meta = meta_ref[0]            # [CHUNK, 8] f32
-    B = meta.shape[0]
-    lo = meta[:, 0:3]             # [B, 3]
-    g0 = meta[:, 3]
-    g1 = meta[:, 4]
-    frac = meta[:, 5:8]
-
-    # per-cell trilinear weights W[b, p], p < 125 (lanes padded to 128)
-    p = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
-    px = (p // (HALO * HALO)).astype(jnp.float32)
-    py = ((p // HALO) % HALO).astype(jnp.float32)
-    pz = (p % HALO).astype(jnp.float32)
-    valid = (p < ROW_CELLS).astype(jnp.float32)
-
-    def axis_w(pidx, d):
-        l = lo[:, d][:, None]
-        f = frac[:, d][:, None]
-        return (jnp.where(pidx == l, 1.0 - f, 0.0)
-                + jnp.where(pidx == l + 1.0, f, 0.0))
-
-    W = axis_w(px, 0) * axis_w(py, 1) * axis_w(pz, 2) * valid  # [B, 128]
-    # rows: [B, 256] — channel-planar layout row[c*125+p] with p>=125 lanes
-    # zero (table row width 250; lanes 125..127 and 253..255 are padding
-    # that must map onto zero columns — see the host-side depad).  Staged
-    # through a VMEM scratch so the serial loop can dynamic-slice a ref
-    # (Mosaic has no dynamic_slice on values).
-    rows_ref[:] = jnp.concatenate([g0[:, None] * W, g1[:, None] * W], axis=1)
-
-    def body(i, _):
-        r = rid_ref[0, 0, i // 128, i % 128]
-        acc_ref[pl.ds(r, 1), :] += rows_ref[pl.ds(i, 1), :]
-        return _
-
-    jax.lax.fori_loop(0, B, body, 0)
-
-    @pl.when(j == nj - 1)
-    def _flush():
-        # out lives in HBM (a VMEM out block would blow the 16 MB budget
-        # next to the accumulator); one explicit DMA per level
-        cp = pltpu.make_async_copy(acc_ref, out_ref.at[l], sem)
-        cp.start()
-        cp.wait()
+def _cell_pad(row_cells):
+    # lane padding per channel plane: both channels share one 128-lane
+    # plane when a block fits 64 lanes (block <= 3), else two planes
+    return 64 if row_cells <= 64 else 128
 
 
-@functools.partial(jax.jit, static_argnames=("n_levels",))
-def block_table_grad_pallas(rid, meta, n_levels):
+def _make_kernel(halo, row_cells):
+    cp_lanes = _cell_pad(row_cells)
+
+    def _kernel(rid_ref, meta_ref, out_ref, acc_ref, rows_ref, sem):
+        l = pl.program_id(0)
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _zero():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        meta = meta_ref[0]            # [CHUNK, 8] f32
+        B = meta.shape[0]
+        lo = meta[:, 0:3]             # [B, 3]
+        g0 = meta[:, 3]
+        g1 = meta[:, 4]
+        frac = meta[:, 5:8]
+
+        # per-cell trilinear weights W[b, p], p < row_cells (lanes padded)
+        p = jax.lax.broadcasted_iota(jnp.int32, (B, cp_lanes), 1)
+        px = (p // (halo * halo)).astype(jnp.float32)
+        py = ((p // halo) % halo).astype(jnp.float32)
+        pz = (p % halo).astype(jnp.float32)
+        valid = (p < row_cells).astype(jnp.float32)
+
+        def axis_w(pidx, d):
+            l = lo[:, d][:, None]
+            f = frac[:, d][:, None]
+            return (jnp.where(pidx == l, 1.0 - f, 0.0)
+                    + jnp.where(pidx == l + 1.0, f, 0.0))
+
+        W = axis_w(px, 0) * axis_w(py, 1) * axis_w(pz, 2) * valid
+        # rows: [B, 2*cp_lanes] — channel-planar row[c*row_cells+p]; lanes
+        # >= row_cells are zero padding mapped onto zero columns by the
+        # host-side depad.  Staged through a VMEM scratch so the serial
+        # loop can dynamic-slice a ref (Mosaic has no dynamic_slice on
+        # values).
+        rows_ref[:] = jnp.concatenate(
+            [g0[:, None] * W, g1[:, None] * W], axis=1)
+
+        def body(i, _):
+            r = rid_ref[0, 0, i // 128, i % 128]
+            acc_ref[pl.ds(r, 1), :] += rows_ref[pl.ds(i, 1), :]
+            return _
+
+        jax.lax.fori_loop(0, B, body, 0)
+
+        @pl.when(j == nj - 1)
+        def _flush():
+            # out lives in HBM (a VMEM out block would blow the 16 MB
+            # budget next to the accumulator); one explicit DMA per level
+            dma = pltpu.make_async_copy(acc_ref, out_ref.at[l], sem)
+            dma.start()
+            dma.wait()
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_levels", "rows_max", "halo", "row_cells"))
+def block_table_grad_pallas(rid, meta, n_levels, rows_max=8192, halo=HALO,
+                            row_cells=ROW_CELLS):
     """Accumulate per-level gradient tables.
 
-    rid: [L, M] int32 row ids (invalid lanes -> ROWS_MAX - 1 with zero g).
+    rid: [L, M] int32 row ids (invalid lanes -> rows_max - 1 with zero g).
     meta: [L, M, 8] f32 packed (lo, g, frac).
-    Returns [L, ROWS_MAX, WIDTH] f32.
+    Returns [L, rows_max, 2 * cell_pad] f32.
     """
     L, M = rid.shape
+    width = 2 * _cell_pad(row_cells)
     nj = -(-M // CHUNK)
     pad = nj * CHUNK - M
     if pad:
-        rid = jnp.pad(rid, ((0, 0), (0, pad)), constant_values=ROWS_MAX - 1)
+        rid = jnp.pad(rid, ((0, 0), (0, pad)), constant_values=rows_max - 1)
         meta = jnp.pad(meta, ((0, 0), (0, pad), (0, 0)))
     # SMEM blocks need (8, 128)-aligned trailing dims: carry the chunk's
     # row ids as an [8, 128] tile
@@ -120,14 +134,14 @@ def block_table_grad_pallas(rid, meta, n_levels):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[pltpu.VMEM((ROWS_MAX, WIDTH), jnp.float32),
-                        pltpu.VMEM((CHUNK, WIDTH), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows_max, width), jnp.float32),
+                        pltpu.VMEM((CHUNK, width), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(halo, row_cells),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L, ROWS_MAX, WIDTH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((L, rows_max, width), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -135,19 +149,20 @@ def block_table_grad_pallas(rid, meta, n_levels):
     )(rid, meta)
 
 
-def block_table_grad_reference(rid, meta, total_rows, offsets):
+def block_table_grad_reference(rid, meta, total_rows, offsets,
+                               halo=HALO, row_cells=ROW_CELLS):
     """jnp oracle: the same accumulation via XLA scatter-add.
 
-    Returns the flat [total_rows, 250] gradient (depadded).
+    Returns the flat [total_rows, row_cells*2] gradient (depadded).
     """
     L, M = rid.shape
     lo = meta[..., 0:3]
     g = meta[..., 3:5]
     frac = meta[..., 5:8]
-    p = np.arange(ROW_CELLS)
-    pxs = jnp.asarray(p // (HALO * HALO), jnp.float32)
-    pys = jnp.asarray((p // HALO) % HALO, jnp.float32)
-    pzs = jnp.asarray(p % HALO, jnp.float32)
+    p = np.arange(row_cells)
+    pxs = jnp.asarray(p // (halo * halo), jnp.float32)
+    pys = jnp.asarray((p // halo) % halo, jnp.float32)
+    pzs = jnp.asarray(p % halo, jnp.float32)
 
     def axis_w(pidx, d):
         l = lo[..., d][..., None]
@@ -155,24 +170,26 @@ def block_table_grad_reference(rid, meta, total_rows, offsets):
         return (jnp.where(pidx == l, 1.0 - f, 0.0)
                 + jnp.where(pidx == l + 1.0, f, 0.0))
 
-    W = axis_w(pxs, 0) * axis_w(pys, 1) * axis_w(pzs, 2)  # [L, M, 125]
+    W = axis_w(pxs, 0) * axis_w(pys, 1) * axis_w(pzs, 2)  # [L, M, RC]
     rows = jnp.concatenate(
-        [g[..., 0:1] * W, g[..., 1:2] * W], axis=-1)  # [L, M, 250]
+        [g[..., 0:1] * W, g[..., 1:2] * W], axis=-1)  # [L, M, 2*RC]
     flat_id = rid + jnp.asarray(offsets, jnp.int32)[:, None]
-    out = jnp.zeros((total_rows, 2 * ROW_CELLS), jnp.float32)
+    out = jnp.zeros((total_rows, 2 * row_cells), jnp.float32)
     return out.at[flat_id.reshape(-1)].add(rows.reshape(L * M, -1),
                                            mode="drop")
 
 
 def depad_level_grads(per_level, meta_obj):
-    """[L, ROWS_MAX, WIDTH] kernel output -> flat [total_rows, 250] grad."""
+    """Kernel output -> flat [total_rows, row_cells*2] gradient."""
     L = per_level.shape[0]
+    rc = meta_obj.row_cells
+    cp = _cell_pad(rc)
     parts = []
     for l in range(L):
         rows_l = int(meta_obj.n_rows[l])
         gl = per_level[l, :rows_l]
         parts.append(jnp.concatenate(
-            [gl[:, :ROW_CELLS], gl[:, 128:128 + ROW_CELLS]], axis=1))
+            [gl[:, :rc], gl[:, cp:cp + rc]], axis=1))
     return jnp.concatenate(parts, axis=0)
 
 
@@ -209,7 +226,9 @@ def _bef_bwd(meta, x01, g_out):
                   g_out.reshape(N, L, 2).astype(jnp.float32))
     meta8 = jnp.concatenate([lo.astype(jnp.float32), g, frac], axis=-1)
     per_level = block_table_grad_pallas(
-        rid.T, jnp.transpose(meta8, (1, 0, 2)), L)
+        rid.T, jnp.transpose(meta8, (1, 0, 2)), L,
+        rows_max=int(meta.n_rows.max()), halo=meta.halo,
+        row_cells=meta.row_cells)
     gtab = depad_level_grads(per_level, meta)
     return jnp.zeros_like(x01), gtab
 

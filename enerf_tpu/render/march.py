@@ -136,26 +136,29 @@ def march_rays(
         tt = jnp.where(occ_s, tt_cell, tt_super)
         return occ, dt, tt
 
-    def sample_slot(carry, _):
-        t, live = carry
+    def find_cell(t, live):
+        """Empty-space skip: a capped while_loop that exits as soon as
+        EVERY ray has found an occupied cell (or died).  Typical trained
+        scenes exit in 1-3 iterations — cheaper than a fixed budget — while
+        long corridors (bound=3 rooms) get up to `skip_iters` jumps,
+        fixing the starvation a fixed budget caused (measured: 31% ->
+        capacity-bound recall on a far-corner cluster at num_samples=32).
 
-        # Empty-space skip: a capped while_loop that exits as soon as EVERY
-        # ray has found an occupied cell (or died).  Typical trained scenes
-        # exit in 1-3 iterations — faster than the old fixed-8 fori_loop —
-        # while long corridors (bound=3 rooms) get up to `skip_iters` jumps
-        # per slot, fixing the sample starvation the fixed budget caused
-        # (measured: 31% -> ~100% emitted-sample recall on a far-corner
-        # cluster at num_samples=32).
+        Returns (t_found, found, dt_found, tt_found=cell exit)."""
+
         def skip_cond(st):
-            i, t, found = st
+            i, t, found, _, _ = st
             active = live & (t < fars) & ~found
             return (i < skip_iters) & jnp.any(active)
 
         def skip_body(st):
-            i, t, found = st
+            i, t, found, dtf, ttf = st
             occ, dt, tt = lookup(t)
             is_live = live & (t < fars) & ~found
             emit = is_live & occ
+            # record dt + cell exit at the found position
+            dtf = jnp.where(emit, dt, dtf)
+            ttf = jnp.where(emit, tt, ttf)
             # quantized skip: advance dt steps until t >= tt (closed form
             # for dt_gamma == 0; one geometric-ish jump otherwise)
             if dt_gamma == 0.0:
@@ -164,19 +167,58 @@ def march_rays(
             else:
                 t_skip = jnp.maximum(tt, t + dt)
             new_t = jnp.where(is_live & ~occ, t_skip, t)
-            return i + 1, new_t, found | emit
+            return i + 1, new_t, found | emit, dtf, ttf
 
-        _, t_after, found = jax.lax.while_loop(
+        _, t_f, found, dt_f, tt_f = jax.lax.while_loop(
             skip_cond, skip_body,
-            (jnp.int32(0), t, jnp.zeros_like(live)),
+            (jnp.int32(0), t, jnp.zeros_like(live),
+             jnp.full_like(t, dt_min), t),
         )
-        occ, dt, _ = lookup(t_after)
-        valid = found
-        ts_out = t_after
-        dts_out = jnp.where(valid, dt, 0.0)
-        next_t = jnp.where(valid, t_after + dt, t_after)
+        return t_f, found, dt_f, tt_f
+
+    # Block emission: when dt is constant (dt_gamma == 0) the CUDA
+    # reference emits a sample every dt while inside an occupied cell
+    # (raymarching.cu:400-416) — so after ONE lookup we can emit up to
+    # EMIT_K samples closed-form until the cell exit, cutting the
+    # sequential lookup count ~EMIT_K x.  K follows the expected
+    # steps-per-cell (= max_steps / (sqrt(3) * H)); at K = 1 the path
+    # degenerates to one-lookup-per-sample with no slot waste.
+    EMIT_K = max(1, min(4, int(round(max_steps / (SQRT3 * H)))))
+    if dt_gamma == 0.0 and EMIT_K > 1:
+        n_blocks = -(-num_samples // EMIT_K)
+
+        def sample_block(carry, _):
+            t, live = carry
+            t_f, found, _, tt_f = find_cell(t, live)
+            # number of dt_min steps that stay inside the cell (>= 1)
+            n_cell = jnp.ceil(jnp.maximum(tt_f - t_f, 0.0) / dt_min)
+            n_cell = jnp.maximum(n_cell, 1.0)
+            ks = jnp.arange(EMIT_K, dtype=jnp.float32)[:, None]  # [K, 1]
+            ts_k = t_f[None, :] + ks * dt_min                    # [K, N]
+            valid_k = (found[None, :] & (ks < n_cell[None, :])
+                       & (ts_k < fars[None, :]))
+            dts_k = jnp.where(valid_k, dt_min, 0.0)
+            n_emit = jnp.minimum(n_cell, float(EMIT_K))
+            next_t = jnp.where(found, t_f + n_emit * dt_min, t_f)
+            still = live & (next_t < fars)
+            return (next_t, still), (ts_k, dts_k, valid_k)
+
+        (_, _), (ts, dts, valid) = jax.lax.scan(
+            sample_block, (t0, live0), None, length=n_blocks
+        )
+        # [n_blocks, K, N] -> [N, n_blocks * K] -> trim to num_samples
+        ts = ts.reshape(-1, N).T[:, :num_samples]
+        dts = dts.reshape(-1, N).T[:, :num_samples]
+        valid = valid.reshape(-1, N).T[:, :num_samples]
+        return ts, dts, valid
+
+    def sample_slot(carry, _):
+        t, live = carry
+        t_f, found, dt_f, _ = find_cell(t, live)
+        dts_out = jnp.where(found, dt_f, 0.0)
+        next_t = jnp.where(found, t_f + dt_f, t_f)
         still = live & (next_t < fars)
-        return (next_t, still), (ts_out, dts_out, valid)
+        return (next_t, still), (t_f, dts_out, found)
 
     (_, _), (ts, dts, valid) = jax.lax.scan(
         sample_slot, (t0, live0), None, length=num_samples
