@@ -37,7 +37,8 @@ T_EV_RGB_CALIB0 = np.asarray([
 
 def load_eds_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1,
                      calibstr="calib0", hotpixs=False, select_idxs=None,
-                     intrinsics=None, intrinsics_evs=None):
+                     intrinsics=None, intrinsics_evs=None, e2vid=0,
+                     images_corrupted=False):
     """Load an EDS-format directory into the provider dict.
 
     intrinsics/intrinsics_evs override the calib json (fx, fy, cx, cy).
@@ -53,10 +54,14 @@ def load_eds_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1,
         intrinsics = (intr["fx"], intr["fy"], intr["cx"], intr["cy"])
         intrinsics_evs = (intr_evs["fx"], intr_evs["fy"], intr_evs["cx"], intr_evs["cy"])
 
-    # images
+    # images (source switching: clean / e2vid / corrupted — reference
+    # provider.py:505-510, 731-735)
+    from enerf_tpu.data.provider import resolve_image_dir
     imgdir = os.path.join(datadir, f"images_undistorted_{calibstr}")
     if not os.path.isdir(imgdir):
         imgdir = os.path.join(datadir, "images")
+    imgdir, _kind = resolve_image_dir(datadir, "eds", e2vid,
+                                      images_corrupted, default_dir=imgdir)
     tss_imgs_us = np.loadtxt(os.path.join(datadir, "images_timestamps_us.txt"))
     img_paths = sorted(
         glob.glob(os.path.join(imgdir, "*.png")) + glob.glob(os.path.join(imgdir, "*.jpg"))

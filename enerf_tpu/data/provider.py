@@ -614,7 +614,9 @@ def make_providers(cfg, select_frames=None):
         if cfg.mode == "tumvie":
             from enerf_tpu.data.tumvie import load_tumvie_dataset
             data = load_tumvie_dataset(
-                cfg.datadir, scale=cfg.scale, out_dim_color=cfg.out_dim_color,
+                cfg.datadir, e2vid=cfg.e2vid,
+                images_corrupted=bool(cfg.images_corrupted),
+                scale=cfg.scale, out_dim_color=cfg.out_dim_color,
                 downscale=cfg.downscale,
                 pp_poses_sphere=bool(cfg.pp_poses_sphere),
                 hotpixs=bool(cfg.hotpixs),
@@ -623,7 +625,9 @@ def make_providers(cfg, select_frames=None):
         else:
             from enerf_tpu.data.eds import load_eds_dataset
             data = load_eds_dataset(
-                cfg.datadir, scale=cfg.scale, out_dim_color=cfg.out_dim_color,
+                cfg.datadir, e2vid=cfg.e2vid,
+                images_corrupted=bool(cfg.images_corrupted),
+                scale=cfg.scale, out_dim_color=cfg.out_dim_color,
                 downscale=cfg.downscale, hotpixs=bool(cfg.hotpixs),
                 select_idxs=(select_frames or {}).get("train_idxs"),
             )

@@ -93,7 +93,8 @@ def slice_events_per_frame(slicer, tss_imgs_us, rectify_map=None,
 
 def load_tumvie_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1,
                         pp_poses_sphere=True, cam="left", hotpixs=False,
-                        select_idxs=None, workspace=None):
+                        select_idxs=None, workspace=None, e2vid=0,
+                        images_corrupted=False):
     """Load a TUM-VIE-format directory into the provider dict."""
     suffix = cam + ("_hotpixs" if hotpixs else "")
 
@@ -110,9 +111,14 @@ def load_tumvie_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1,
     T_imu_evcam = _quat_dict_to_hom(calib["T_imu_cam"][cam_id_evs])
     T_imu_marker = _quat_dict_to_hom(calib["T_imu_marker"])
 
-    # images
-    imgdir = os.path.join(datadir, f"{cam}_images_undistorted")
-    tss_imgs_us = np.loadtxt(os.path.join(imgdir, f"image_timestamps_{cam}.txt"))
+    # images (source switching: clean / e2vid / corrupted — reference
+    # provider.py:540-545, 731-735)
+    from enerf_tpu.data.provider import resolve_image_dir
+    clean_dir = os.path.join(datadir, f"{cam}_images_undistorted")
+    imgdir, _kind = resolve_image_dir(datadir, "tumvie", e2vid,
+                                      images_corrupted, default_dir=clean_dir)
+    tss_imgs_us = np.loadtxt(
+        os.path.join(clean_dir, f"image_timestamps_{cam}.txt"))
     img_paths = sorted(
         glob.glob(os.path.join(imgdir, "*.jpg")) + glob.glob(os.path.join(imgdir, "*.png"))
     )

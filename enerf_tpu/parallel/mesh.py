@@ -110,3 +110,48 @@ def make_sharded_train_step(ss, opt, mesh, mode="events"):
         donate_argnums=(0,),
     )
     return lambda state, batch, rng, occ=None: jitted(state, batch, rng)
+
+
+def make_sharded_render(static, mesh, *, num_samples=128, max_steps=1024,
+                        min_near=0.2, density_scale=1.0, dt_gamma=0.0):
+    """Sharded full-image render: rays split over the 'data' axis, params +
+    occupancy replicated, image tiles gathered (the role of the reference's
+    dead dist.all_gather eval path, utils.py:1064-1079 — here the gather
+    is emitted by XLA from the output sharding and rides ICI/DCN).
+
+    Returns render(params, occ_bitfield, rays_o, rays_d) -> dict; ray count
+    is padded to a multiple of the mesh size internally.
+    """
+    from enerf_tpu.render.march import render_rays_march
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    n_dev = mesh.devices.size
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, shard, shard),
+        out_shardings=repl,
+    )
+    def _render(params, occ, ro, rd):
+        return render_rays_march(
+            params, static, occ, ro, rd,
+            num_samples=num_samples, max_steps=max_steps, bg_color=1.0,
+            min_near=min_near, density_scale=density_scale,
+            dt_gamma=dt_gamma,
+        )
+
+    def render(params, occ, rays_o, rays_d):
+        N = rays_o.shape[0]
+        pad = (-N) % n_dev
+        if pad:
+            rays_o = jnp.concatenate(
+                [rays_o, jnp.ones((pad, 3), rays_o.dtype)], 0)
+            rays_d = jnp.concatenate(
+                [rays_d, jnp.ones((pad, 3), rays_d.dtype)], 0)
+        out = _render(params, occ,
+                      jax.device_put(rays_o, shard),
+                      jax.device_put(rays_d, shard))
+        return jax.tree.map(lambda x: x[:N], out)
+
+    return render

@@ -127,6 +127,7 @@ class Trainer:
                 self.log(f"[ckpt] resumed from {path} at epoch {self.epoch}")
 
         self._sharded_step = None
+        self._sharded_render = None
         if mesh is not None:
             from enerf_tpu.parallel.mesh import make_sharded_train_step
             mode = "events" if cfg.events else "frames"
@@ -251,13 +252,31 @@ class Trainer:
             # reference's inference loop runs to max_steps with no
             # mean_count cap, renderer.py:344-401) but honors the
             # configured training buffer as a floor
-            out = render_rays_march(
-                params, self.static, self.occupancy.occ_bitfield, ro, rd,
-                num_samples=max(2 * self.cfg.march_samples, 128),
-                max_steps=self.ss.max_steps, bg_color=1.0,
-                min_near=self.cfg.min_near, density_scale=self.cfg.density_scale,
-                dt_gamma=self.cfg.dt_gamma,
-            )
+            eval_samples = max(2 * self.cfg.march_samples, 128)
+            if self.mesh is not None:
+                # multi-chip eval tiling: rays sharded over the mesh,
+                # image gathered (SURVEY M5)
+                if self._sharded_render is None:
+                    from enerf_tpu.parallel.mesh import make_sharded_render
+                    self._sharded_render = make_sharded_render(
+                        self.static, self.mesh,
+                        num_samples=eval_samples,
+                        max_steps=self.ss.max_steps,
+                        min_near=self.cfg.min_near,
+                        density_scale=self.cfg.density_scale,
+                        dt_gamma=self.cfg.dt_gamma,
+                    )
+                out = self._sharded_render(
+                    params, self.occupancy.occ_bitfield, ro, rd)
+            else:
+                out = render_rays_march(
+                    params, self.static, self.occupancy.occ_bitfield, ro, rd,
+                    num_samples=eval_samples,
+                    max_steps=self.ss.max_steps, bg_color=1.0,
+                    min_near=self.cfg.min_near,
+                    density_scale=self.cfg.density_scale,
+                    dt_gamma=self.cfg.dt_gamma,
+                )
         else:
             out = render_rays_staged(
                 params, self.static, ro, rd,

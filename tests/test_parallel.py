@@ -131,3 +131,41 @@ def test_dryrun_multichip_entrypoint():
     out = jax.jit(fn)(*args)
     assert out.shape == (1024, 1)
     assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_eval_render_matches_single_device():
+    """Multi-chip eval tiling (SURVEY M5): rays sharded over the mesh,
+    image gathered — must equal the single-device render."""
+    from enerf_tpu.parallel.mesh import make_sharded_render
+    from enerf_tpu.render.march import render_rays_march
+    from enerf_tpu.render.occupancy import GRID_SIZE
+
+    static = FieldStatic(bound=1.0, out_dim_color=1, num_levels=4,
+                         log2_hashmap_size=10, encoding="blockgrid")
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    g = np.arange(GRID_SIZE)
+    xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
+    c = 2.0 * np.stack([xs, ys, zs], -1) / (GRID_SIZE - 1) - 1.0
+    occ = jnp.asarray((np.linalg.norm(c, axis=-1) < 0.5).reshape(1, -1))
+
+    n = 131  # deliberately not divisible by 8 (padding path)
+    rng = np.random.RandomState(0)
+    o = np.tile(np.array([[0., 0., -2.5]], np.float32), (n, 1))
+    tgt = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    single = render_rays_march(
+        params, static, occ, o, d, num_samples=32, max_steps=256,
+        bg_color=1.0, min_near=0.2)
+
+    mesh = make_mesh(8)
+    render = make_sharded_render(static, mesh, num_samples=32, max_steps=256)
+    sharded = render(replicate(params, mesh), replicate(occ, mesh), o, d)
+
+    np.testing.assert_allclose(np.asarray(sharded["image"]),
+                               np.asarray(single["image"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded["depth"]),
+                               np.asarray(single["depth"]), atol=1e-5)
