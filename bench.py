@@ -40,20 +40,32 @@ def _baseline_anchor():
 BASELINE_RAYS_S = _baseline_anchor()
 
 
-def main():
+def main(argv=None):
     from enerf_tpu.models.field import FieldStatic, init_field_params
     from enerf_tpu.render.occupancy import init_occupancy, update_occupancy
-    from enerf_tpu.render.march import render_rays_march
+    from enerf_tpu.render.march import render_rays_march, march_rays, composite_from_march
+    from enerf_tpu.ops.aabb import near_far_from_aabb
     from enerf_tpu.train.state import init_train_state, apply_updates
     from enerf_tpu.train import losses
+    import argparse
 
-    n_rays = 8192          # per-render ray batch (x2 renders per step)
-    num_samples = 32       # live-sample buffer (mean_count analogue)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_rays", type=int, default=8192)
+    ap.add_argument("--num_samples", type=int, default=32)
+    ap.add_argument("--compact_frac", type=float, default=0.25)
+    ap.add_argument("--share_march", type=int, default=0)
+    ap.add_argument("--grid_block", type=int, default=4)
+    ap.add_argument("--fast_table_grad", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    n_rays = args.n_rays   # per-render ray batch (x2 renders per step)
+    num_samples = args.num_samples  # live-sample buffer (mean_count analogue)
     max_steps = 1024
 
     static = FieldStatic(
         bound=1.0, out_dim_color=1, encoding="blockgrid",
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16, grid_block=args.grid_block,
+        fast_table_grad=bool(args.fast_table_grad),
     )
     params = init_field_params(jax.random.PRNGKey(0), static)
     state, opt = init_train_state(params, lr0=1e-2, iters=10000)
@@ -73,19 +85,35 @@ def main():
     o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (n_rays, 1))
     pols = jnp.ones((n_rays,), jnp.float32)
 
+    cf = args.compact_frac
+
     def loss_fn(params, bitfield, rng):
         k1, k2 = jax.random.split(rng)
         bg = jnp.full((n_rays, 1), 0.5)
-        out1 = render_rays_march(
-            params, static, bitfield, o, d, num_samples=num_samples,
-            max_steps=max_steps, bg_color=bg, perturb=True, rng=k1,
-            compact_frac=0.25,
-        )
-        out2 = render_rays_march(
-            params, static, bitfield, o + 0.01, d, num_samples=num_samples,
-            max_steps=max_steps, bg_color=bg, perturb=True, rng=k2,
-            compact_frac=0.25,
-        )
+        if args.share_march:
+            aabb = jnp.asarray([-1., -1., -1., 1., 1., 1.], jnp.float32)
+            nears, fars = near_far_from_aabb(o, d, aabb, 0.2)
+            ts, dts, valid = march_rays(
+                o, d, bitfield, nears, fars, k1,
+                num_samples=num_samples, max_steps=max_steps,
+                cascades=bitfield.shape[0], bound=1.0, perturb=True)
+            out1 = composite_from_march(
+                params, static, o, d, ts, dts, valid, nears, fars,
+                bg_color=bg, compact_frac=cf)
+            out2 = composite_from_march(
+                params, static, o + 0.01, d, ts, dts, valid, nears, fars,
+                bg_color=bg, compact_frac=cf)
+        else:
+            out1 = render_rays_march(
+                params, static, bitfield, o, d, num_samples=num_samples,
+                max_steps=max_steps, bg_color=bg, perturb=True, rng=k1,
+                compact_frac=cf,
+            )
+            out2 = render_rays_march(
+                params, static, bitfield, o + 0.01, d, num_samples=num_samples,
+                max_steps=max_steps, bg_color=bg, perturb=True, rng=k2,
+                compact_frac=cf,
+            )
         ll1 = losses.log_intensity(out1["image"], use_luma=False)
         ll2 = losses.log_intensity(out2["image"], use_luma=False)
         return losses.event_loss(
@@ -120,4 +148,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(sys.argv[1:])
