@@ -177,6 +177,11 @@ class Trainer:
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed + 1)
 
+        # per-run dataset diagnostics (reference plot_utils auto dumps)
+        from enerf_tpu.utils.plotting import dump_run_diagnostics
+        for p in dump_run_diagnostics(self.workspace, provider):
+            self.log(f"[diag] {p}")
+
         if self.occupancy is not None and hasattr(provider, "train_poses"):
             self.occupancy = mark_untrained_grid(
                 self.occupancy, provider.train_poses, provider.intrinsics, cfg.bound

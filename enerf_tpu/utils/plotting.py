@@ -60,18 +60,62 @@ def plot_poses(path, poses, ts=None, title="poses", axis_len=0.1, stride=1):
 
 
 def plot_trajectory_timeline(path, ts, poses, title="trajectory"):
-    """Per-axis translation curves over time written to `path` (png)."""
+    """Per-axis translation curves over time written to `path` (png).
+
+    poses: [N, 3] translations or [N, 3/4, 4] pose matrices.
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     poses = np.asarray(poses)
+    trans = poses if poses.ndim == 2 else poses[:, :3, 3]
     fig, axes = plt.subplots(3, 1, figsize=(10, 6), sharex=True)
     for k, (axx, lbl) in enumerate(zip(axes, "xyz")):
-        axx.plot(ts, poses[:, k, 3])
+        axx.plot(ts, trans[:, k])
         axx.set_ylabel(lbl)
     axes[0].set_title(title)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, dpi=100)
     plt.close(fig)
     return path
+
+
+def dump_run_diagnostics(workspace, provider):
+    """Per-run dataset diagnostics into workspace/diagnostics (the role of
+    the reference's automatic plot dumps: plotting_poses_bounds/hf/evs from
+    provider.py:760, 1126 and the undistorted-event accumulation images
+    from :1353-1359).  Best-effort: never fails a run.
+    """
+    import cv2
+
+    ddir = os.path.join(workspace, "diagnostics")
+    os.makedirs(ddir, exist_ok=True)
+    written = []
+    try:
+        if hasattr(provider, "chains"):  # event provider
+            ch = provider.chains
+            img = render_ev_accumulation(
+                np.asarray(ch.xs), np.asarray(ch.ys), np.asarray(ch.pols),
+                provider.H, provider.W)
+            p = os.path.join(ddir, "ev_accumulation.png")
+            cv2.imwrite(p, img)
+            written.append(p)
+            hist = event_histogram(
+                np.asarray(ch.xs), np.asarray(ch.ys), np.asarray(ch.pols),
+                provider.H, provider.W)
+            mx = max(np.abs(hist).max(), 1.0)
+            p = os.path.join(ddir, "ev_histogram.png")
+            cv2.imwrite(p, ((hist / mx + 1.0) * 127.5).astype(np.uint8))
+            written.append(p)
+            written.append(plot_trajectory_timeline(
+                os.path.join(ddir, "hf_trajectory.png"),
+                np.asarray(provider.key_ts), np.asarray(provider.key_trans),
+                title="pose keyframes (hf)"))
+        if getattr(provider, "train_poses", None) is not None:
+            written.append(plot_poses(
+                os.path.join(ddir, "train_poses.png"),
+                np.asarray(provider.train_poses), title="train poses"))
+    except Exception as e:  # diagnostics must never kill training
+        written.append(f"(skipped: {e})")
+    return written

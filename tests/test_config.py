@@ -45,5 +45,8 @@ def test_validation_rejects_bad():
         Config(event_only=1, events=0).validate()
     with pytest.raises(AssertionError):
         Config(out_dim_color=2).validate()
-    with pytest.raises(AssertionError):
-        Config(out_dim_color=1, use_luma=1).validate()
+    # grayscale + use_luma is coerced (use_luma -> 0), not rejected: the
+    # reference hard-asserts here on its own DEFAULTS (main_nerf.py:91-92
+    # vs :117/:126) — a foot-gun this framework fixes
+    cfg = Config(out_dim_color=1, use_luma=1).validate()
+    assert cfg.use_luma == 0
