@@ -49,7 +49,17 @@ def main():
         min_near=0.2, density_scale=1.0, C_thres=0.2, event_only=True,
         use_luma=False, linlog=True, weight_loss_rgb=1.0,
         negative_event_sampling=False, w_no_ev=1.0, out_dim_color=1,
+        # PRODUCTION path: occupancy march + compaction (the same step
+        # bench.py measures single-chip)
+        use_march=True, march_samples=8 if on_cpu else 32,
+        max_steps=256 if on_cpu else 1024, compact_frac=0.25,
     )
+    import numpy as np
+    from enerf_tpu.render.occupancy import GRID_SIZE
+    g = np.arange(GRID_SIZE)
+    xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
+    centers = 2.0 * np.stack([xs, ys, zs], -1) / (GRID_SIZE - 1) - 1.0
+    occ = jnp.asarray((np.linalg.norm(centers, axis=-1) < 0.48).reshape(1, -1))
 
     base_rate = None
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev_total]
@@ -71,13 +81,14 @@ def main():
             "pols": jnp.ones((n,), jnp.float32),
         }, mesh)
         state = replicate(state, mesh)
+        occ_r = replicate(occ, mesh)
 
-        state, scalars = step(state, batch, jax.random.PRNGKey(2))
+        state, scalars = step(state, batch, jax.random.PRNGKey(2), occ_r)
         float(scalars["loss"])
         iters = 5
         t0 = time.perf_counter()
         for i in range(iters):
-            state, scalars = step(state, batch, jax.random.PRNGKey(3 + i))
+            state, scalars = step(state, batch, jax.random.PRNGKey(3 + i), occ_r)
         float(scalars["loss"])
         jax.block_until_ready(state.params)
         dt = (time.perf_counter() - t0) / iters
