@@ -66,6 +66,10 @@ class Config:
     fp16: bool = False  # on TPU this selects bf16 compute
     ff: bool = False    # fused-MLP pallas path
     tcnn: bool = False  # alias of ff on TPU (no tiny-cuda-nn)
+    # positional encoding (reference encoding.py get_encoder): 'auto'
+    # follows --ff/--tcnn (blockgrid) vs hashgrid; 'frequency'/'none' are
+    # the grid-free encoders.
+    encoding: str = "auto"  # auto | hashgrid | blockgrid | frequency | none
 
     # dataset options
     mode: str = "esim"

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from enerf_tpu.ops.hashgrid import HashGridMeta, hash_encode, init_hash_table
 from enerf_tpu.ops.blockgrid import BlockGridMeta, block_encode, init_block_table
+from enerf_tpu.ops.freq import freq_encode, freq_output_dim
 from enerf_tpu.ops.sh import sh_encode, sh_output_dim
 from enerf_tpu.ops.trunc_exp import trunc_exp
 
@@ -100,6 +101,25 @@ class FieldStatic:
         self.grid_block = int(grid_block)
 
         # reference network.py:36: desired_resolution = 2048 * bound
+        if encoding in ("frequency", "none"):
+            # reference encoding.py:45-76 get_encoder also serves the
+            # grid-free encoders (identity / NeRF sinusoidal); no table.
+            self.grid_meta = None
+            self.in_dim = (freq_output_dim(3, multires=6)
+                           if encoding == "frequency" else 3)
+            self.in_dim_dir = sh_output_dim(sh_degree)
+            if self.bg_radius > 0:
+                self.bg_grid_meta = HashGridMeta(
+                    input_dim=2, num_levels=4, level_dim=level_dim,
+                    base_resolution=base_resolution,
+                    log2_hashmap_size=log2_hashmap_size,
+                    desired_resolution=2048, gridtype=gridtype,
+                )
+                self.in_dim_bg = self.bg_grid_meta.output_dim
+            else:
+                self.bg_grid_meta = None
+                self.in_dim_bg = 0
+            return
         if encoding == "blockgrid":
             self.grid_meta = BlockGridMeta(
                 num_levels=num_levels,
@@ -167,7 +187,9 @@ def _init_linear(key, in_dim, out_dim, dtype):
 def init_field_params(key, static, dtype=jnp.float32):
     """Build the parameter pytree."""
     keys = jax.random.split(key, 16)
-    if static.encoding == "blockgrid":
+    if static.encoding in ("frequency", "none"):
+        params = {}
+    elif static.encoding == "blockgrid":
         params = {"hash_table": init_block_table(keys[0], static.grid_meta, dtype)}
     else:
         params = {"hash_table": init_hash_table(keys[0], static.grid_meta, dtype)}
@@ -200,6 +222,10 @@ def _dir_encode(static, d):
 
 
 def _encode(params, static, x01):
+    if static.encoding == "none":
+        return x01
+    if static.encoding == "frequency":
+        return freq_encode(x01, multires=6)
     table = params["hash_table"]
     if static.encoding == "blockgrid":
         if static.fast_table_grad:
@@ -214,7 +240,6 @@ def field_density(params, static, x):
     x01 = (x + static.bound) / (2.0 * static.bound)
     # table stays f32: the gather is address-rate-bound (f32 == bf16 speed,
     # BENCH_NOTES.md) and the backward scatter-add then accumulates in f32
-    table = params["hash_table"]
     enc = _encode(params, static, x01)
     h = _mlp(params, "sigma", static.num_layers, enc, static.compute_dtype)
     sigma = trunc_exp(h[..., 0].astype(jnp.float32))

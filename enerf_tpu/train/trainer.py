@@ -54,7 +54,8 @@ class Trainer:
             out_dim_color=cfg.out_dim_color,
             disable_view_direction=bool(cfg.disable_view_direction),
             bg_radius=cfg.bg_radius,
-            encoding="blockgrid" if use_fast else "hashgrid",
+            encoding=(("blockgrid" if use_fast else "hashgrid")
+                      if cfg.encoding == "auto" else cfg.encoding),
             use_fused_head=use_fast and bool(cfg.cuda_ray),
             compute_dtype=compute_dtype,
         )

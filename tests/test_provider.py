@@ -66,3 +66,44 @@ def test_frames_provider_batches():
     assert b["rays_o"].shape == (64, 3) and b["images"].shape == (64, 3)
     views = prov.val_views()
     assert len(views) == 3 and views[0]["gt"].shape == (16, 16, 3)
+
+
+def test_scene_pose_offset():
+    from enerf_tpu.data.provider import apply_scene_pose_offset
+
+    poses = np.tile(np.eye(4), (3, 1, 1))
+    hf = np.tile(np.eye(4), (5, 1, 1))
+    data = {"poses": poses.copy(), "hf_poses": hf.copy()}
+    # reference provider.py:611-618: scene-keyed translation nudges
+    apply_scene_pose_offset("/data/ShakeCarpet1", data)
+    np.testing.assert_allclose(data["poses"][:, :3, 3],
+                               np.tile([0.0, 0.0, 0.3], (3, 1)))
+    np.testing.assert_allclose(data["hf_poses"][:, :3, 3],
+                               np.tile([0.0, 0.0, 0.3], (5, 1)))
+
+    data2 = {"poses": poses.copy(), "hf_poses": hf.copy()}
+    apply_scene_pose_offset("/x/00_peanuts_dark_someconf", data2,
+                            pp_poses_sphere=True)  # sphere pp -> skipped
+    np.testing.assert_allclose(data2["poses"][:, :3, 3], 0.0)
+
+    data3 = {"poses": poses.copy(), "hf_poses": hf.copy()}
+    apply_scene_pose_offset("/x/unknown_scene", data3)
+    np.testing.assert_allclose(data3["poses"][:, :3, 3], 0.0)
+
+
+def test_write_transforms_json(tmp_path):
+    import json as _json
+    from enerf_tpu.data.provider import write_transforms_json
+
+    data = synthetic.simulate_events(H=16, W=16, n_frames=4, C=0.2)
+    data["tss_imgs_ns"] = data["frame_ts"] * 1e9
+    path = write_transforms_json(str(tmp_path), data, split="train")
+    with open(path) as f:
+        t = _json.load(f)
+    assert t["w"] == 16 and t["h"] == 16
+    assert len(t["frames"]) == len(data["poses"])
+    m = np.asarray(t["frames"][0]["transform_matrix"])
+    np.testing.assert_allclose(m, data["poses"][0], atol=1e-12)
+    # fov consistent with intrinsics
+    fx = data["intrinsics"][0]
+    assert abs(t["camera_angle_x"] - 2 * np.arctan(16 / (2 * fx))) < 1e-9

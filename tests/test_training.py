@@ -1,6 +1,7 @@
 """End-to-end training tests: frames mode and event mode on synthetic data."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -152,3 +153,42 @@ def test_event_rays_match_frame_rays():
         pix = y * W + x
         np.testing.assert_allclose(evr["rays_evs_o1"][i], ro[pix], rtol=1e-5)
         np.testing.assert_allclose(evr["rays_evs_d1"][i], rd[pix], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("encoding", ["frequency", "none"])
+def test_gridfree_encodings_train(encoding):
+    """The grid-free encoders (reference encoding.py get_encoder: None /
+    frequency) plug into the field and can fit a target."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from enerf_tpu.models.field import (
+        FieldStatic, field_forward, init_field_params,
+    )
+
+    static = FieldStatic(bound=1.0, encoding=encoding, out_dim_color=1)
+    assert static.in_dim == (3 if encoding == "none" else 3 * 13)
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    assert "hash_table" not in params
+
+    key = jax.random.PRNGKey(1)
+    x = jax.random.uniform(key, (256, 3), minval=-1.0, maxval=1.0)
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (256, 1))
+    target = jnp.sin(3.0 * x[:, 0])  # smooth target
+
+    opt = optax.adam(1e-2)
+    ost = opt.init(params)
+
+    @jax.jit
+    def step(params, ost):
+        def loss_fn(p):
+            sigma, _ = field_forward(p, static, x, d)
+            return jnp.mean((jnp.log(sigma + 1e-6) - target) ** 2)
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, ost = opt.update(g, ost)
+        return optax.apply_updates(params, up), ost, loss
+
+    params, ost, l0 = step(params, ost)
+    for _ in range(60):
+        params, ost, loss = step(params, ost)
+    assert float(loss) < 0.5 * float(l0)
