@@ -46,7 +46,11 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh
         # reference main_nerf.py:46-52: --ff/--tcnn force fp16; on TPU they
-        # select the block-packed encoder + bf16 compute
+        # select the block-packed encoder + bf16 compute.  The three
+        # backbones stay distinct (reference network.py / network_ff.py /
+        # network_tcnn.py serve as mutual oracles): vanilla = hashgrid +
+        # unfused MLPs, --ff = blockgrid + Pallas fused head, --tcnn =
+        # blockgrid + unfused MLPs.
         use_fast = bool(cfg.ff or cfg.tcnn)
         compute_dtype = jnp.bfloat16 if (cfg.fp16 or use_fast) else jnp.float32
         self.static = FieldStatic(
@@ -56,7 +60,7 @@ class Trainer:
             bg_radius=cfg.bg_radius,
             encoding=(("blockgrid" if use_fast else "hashgrid")
                       if cfg.encoding == "auto" else cfg.encoding),
-            use_fused_head=use_fast and bool(cfg.cuda_ray),
+            use_fused_head=bool(cfg.ff) and bool(cfg.cuda_ray),
             compute_dtype=compute_dtype,
         )
         self.ss = StepStatics(

@@ -124,3 +124,25 @@ def test_clip_guided_training_reduces_clip_loss():
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), (
         f"clip guidance did not optimize: {losses[:3]} -> {losses[-3:]}"
     )
+
+
+def test_three_backbones_distinct():
+    """--ff / --tcnn / vanilla select three distinct backbones (mutual
+    oracles, reference network.py / network_ff.py / network_tcnn.py)."""
+    from enerf_tpu.config import build_config
+    from enerf_tpu.train.trainer import Trainer
+
+    def mk(extra):
+        cfg = build_config(["--mode", "synthetic", "--H", "16", "--W", "16",
+                            "--syn_frames", "4", "--iters", "1",
+                            "--num_rays", "32", "--cuda_ray",
+                            "--outdir", "/tmp/backbones", "--ckpt", "scratch",
+                            *extra])
+        return Trainer(cfg).static
+
+    vanilla = mk([])
+    ff = mk(["--ff"])
+    tcnn = mk(["--tcnn"])
+    assert vanilla.encoding == "hashgrid" and not vanilla.use_fused_head
+    assert ff.encoding == "blockgrid" and ff.use_fused_head
+    assert tcnn.encoding == "blockgrid" and not tcnn.use_fused_head
