@@ -279,14 +279,31 @@ class Trainer:
                 out = self._sharded_render(
                     params, self.occupancy.occ_bitfield, ro, rd)
             else:
-                out = render_rays_march(
-                    params, self.static, self.occupancy.occ_bitfield, ro, rd,
-                    num_samples=eval_samples,
-                    max_steps=self.ss.max_steps, bg_color=1.0,
-                    min_near=self.cfg.min_near,
-                    density_scale=self.cfg.density_scale,
-                    dt_gamma=self.cfg.dt_gamma,
-                )
+                # staged march eval (reference renderer.py:579-594): the
+                # per-cell hashgrid at eval depth OOMs HBM on a full 128^2
+                # image in one call, so chunk rays at max_ray_batch and
+                # pad the tail to keep one compiled shape
+                chunk = min(int(self.cfg.max_ray_batch), ro.shape[0])
+                outs = {"image": [], "depth": []}
+                for s in range(0, ro.shape[0], chunk):
+                    co, cd = ro[s:s + chunk], rd[s:s + chunk]
+                    pad = chunk - co.shape[0]
+                    if pad:
+                        co = jnp.concatenate([co, jnp.tile(co[-1:], (pad, 1))])
+                        cd = jnp.concatenate([cd, jnp.tile(cd[-1:], (pad, 1))])
+                    o = render_rays_march(
+                        params, self.static, self.occupancy.occ_bitfield,
+                        co, cd,
+                        num_samples=eval_samples,
+                        max_steps=self.ss.max_steps, bg_color=1.0,
+                        min_near=self.cfg.min_near,
+                        density_scale=self.cfg.density_scale,
+                        dt_gamma=self.cfg.dt_gamma,
+                    )
+                    n = chunk - pad
+                    outs["image"].append(np.asarray(o["image"][:n]))
+                    outs["depth"].append(np.asarray(o["depth"][:n]))
+                out = {k: np.concatenate(v) for k, v in outs.items()}
         else:
             out = render_rays_staged(
                 params, self.static, ro, rd,
