@@ -19,6 +19,7 @@ writes the synthetic simulator's output in the exact reference on-disk
 format, which round-trips through this loader in the tests.
 """
 
+import functools
 import glob
 import json
 import os
@@ -332,6 +333,105 @@ def save_esim_dataset(data, datadir, scale=0.33):
 # providers (the protocol consumed by train/trainer.py)
 
 
+# ----------------------------------------------------------------------------
+# Jitted per-step batch samplers.
+#
+# Sampling must be ONE compiled program, not eager jnp: every eager primitive
+# is a separate device dispatch, and through the remote-TPU tunnel each
+# dispatch costs a round-trip — the round-1 eager samplers (~100 primitives
+# per event batch) made real training ~16x slower than the benched train
+# step.  Arrays are passed explicitly (not closed over) so they stay runtime
+# parameters instead of being baked into the HLO as constants.
+
+
+@functools.partial(jax.jit, static_argnames=("num_rays", "H", "W", "use_emap"))
+def _frames_sample_jit(key, poses, images, error_map, intrinsics,
+                       *, num_rays, H, W, use_emap):
+    k1, k2 = jax.random.split(key)
+    fi = jax.random.randint(k1, (), 0, poses.shape[0])
+    emap = error_map[fi] if use_emap else None
+    rays = get_rays_sampled(k2, poses[fi], intrinsics, H, W, num_rays,
+                            error_map=emap)
+    batch = {
+        "rays_o": rays["rays_o"],
+        "rays_d": rays["rays_d"],
+        "images": images[fi][rays["inds"]],
+    }
+    return batch, fi, rays.get("inds_coarse")
+
+
+@jax.jit
+def _errmap_update_jit(error_map, fi, inds, per_ray_loss):
+    old = error_map[fi, inds]
+    return error_map.at[fi, inds].set(0.1 * old + 0.9 * per_ray_loss)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "batch_size_evs", "accumulate", "acc_max_num_evs", "n_frames",
+    "use_no_ev", "has_frames", "num_rays", "frame_H", "frame_W",
+    "precomputed"))
+def _event_sample_jit(key, arrs, *, batch_size_evs, accumulate,
+                      acc_max_num_evs, n_frames, use_no_ev, has_frames,
+                      num_rays, frame_H, frame_W, precomputed):
+    """One-dispatch event batch: sample (event, successor) pairs, gather or
+    slerp their poses, build paired rays, plus optional no-event pairs and
+    an optional GT-frame ray batch (reference collate provider.py:1363-1499).
+    """
+    chains = arrs["chains"]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    frame = jax.random.randint(k1, (), 0, n_frames)
+    samp = sample_event_batch(
+        k2, chains, frame, batch_size_evs,
+        accumulate=accumulate, acc_max_num_evs=acc_max_num_evs,
+    )
+
+    def ev_poses(idx):
+        if precomputed:
+            return arrs["poses_evs"][idx]
+        return interp_pose_device(
+            arrs["key_ts"], arrs["key_quats"], arrs["key_trans"],
+            chains.ts[idx])
+
+    xs = chains.xs[samp["idx_start"]]
+    ys = chains.ys[samp["idx_start"]]
+    rays = get_event_rays(
+        xs, ys, ev_poses(samp["idx_start"]), ev_poses(samp["idx_end"]),
+        arrs["intrinsics_evs"],
+    )
+    batch = dict(rays, pols=samp["pols"])
+    if use_no_ev:
+        k5, k6, k7 = jax.random.split(jax.random.fold_in(key, 7), 3)
+        j = jax.random.randint(k5, (), 0, arrs["noev_coords"].shape[0])
+        n_no = batch_size_evs // 2
+        sel = jax.random.randint(
+            k6, (n_no,), 0, jnp.maximum(arrs["noev_count"][j], 1))
+        xyno = arrs["noev_coords"][j][sel]  # [n_no, 2]
+        tt = jax.random.uniform(
+            k7, (n_no, 2), minval=arrs["noev_t0"][j], maxval=arrs["noev_t1"][j])
+        tt = jnp.sort(tt, axis=1)
+        p1 = interp_pose_device(
+            arrs["key_ts"], arrs["key_quats"], arrs["key_trans"], tt[:, 0])
+        p2 = interp_pose_device(
+            arrs["key_ts"], arrs["key_quats"], arrs["key_trans"], tt[:, 1])
+        nrays = get_event_rays(
+            xyno[:, 0], xyno[:, 1], p1, p2, arrs["intrinsics_evs"],
+        )
+        batch["rays_no_evs_o1"] = nrays["rays_evs_o1"]
+        batch["rays_no_evs_d1"] = nrays["rays_evs_d1"]
+        batch["rays_no_evs_o2"] = nrays["rays_evs_o2"]
+        batch["rays_no_evs_d2"] = nrays["rays_evs_d2"]
+    if has_frames:
+        fi = jax.random.randint(k3, (), 0, arrs["frame_poses"].shape[0])
+        frays = get_rays_sampled(
+            k4, arrs["frame_poses"][fi], arrs["intrinsics"],
+            frame_H, frame_W, num_rays,
+        )
+        batch["rays_o"] = frays["rays_o"]
+        batch["rays_d"] = frays["rays_d"]
+        batch["images"] = arrs["frames"][fi][frays["inds"]]
+    return batch
+
+
 class FramesProvider:
     """Frame-supervision provider (reference NeRFDataset), with optional
     error-map-weighted pixel sampling (utils.py:134-156, 611-632)."""
@@ -391,31 +491,23 @@ class FramesProvider:
             self.rand_pose > 0 and self._batch_i % (self.rand_pose + 1) == 0
         ):
             return self._rand_pose_batch(jax.random.fold_in(key, 99))
-        k1, k2 = jax.random.split(key)
-        fi = jax.random.randint(k1, (), 0, self.poses.shape[0])
-        emap = None if self.error_map is None else self.error_map[fi]
-        rays = get_rays_sampled(
-            k2, self.poses[fi], self.intrinsics, self.H, self.W, self.num_rays,
-            error_map=emap,
+        batch, fi, inds_coarse = _frames_sample_jit(
+            key, self.poses, self.images, self.error_map, self.intrinsics,
+            num_rays=self.num_rays, H=self.H, W=self.W,
+            use_emap=self.error_map is not None,
         )
-        batch = {
-            "rays_o": rays["rays_o"],
-            "rays_d": rays["rays_d"],
-            "images": self.images[fi][rays["inds"]],
-        }
         if self.error_map is not None:
             self._last_fi = fi
-            self._last_inds_coarse = rays["inds_coarse"]
+            self._last_inds_coarse = inds_coarse
         return batch
 
     def update_error_map(self, per_ray_loss):
         """EMA update at the last sampled coarse indices (utils.py:625-632)."""
         if self.error_map is None:
             return
-        fi, inds = self._last_fi, self._last_inds_coarse
-        old = self.error_map[fi, inds]
-        new = 0.1 * old + 0.9 * per_ray_loss
-        self.error_map = self.error_map.at[fi, inds].set(new)
+        self.error_map = _errmap_update_jit(
+            self.error_map, self._last_fi, self._last_inds_coarse, per_ray_loss
+        )
 
     def _views(self, idxs):
         return [
@@ -534,51 +626,44 @@ class EventProvider:
             self.key_ts, self.key_quats, self.key_trans, self.chains.ts[idx]
         )
 
-    def train_step_batch(self, key):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        frame = jax.random.randint(k1, (), 0, self.n_frames)
-        samp = sample_event_batch(
-            k2, self.chains, frame, self.batch_size_evs,
-            accumulate=self.accumulate_evs, acc_max_num_evs=self.acc_max_num_evs,
-        )
-        xs = self.chains.xs[samp["idx_start"]]
-        ys = self.chains.ys[samp["idx_start"]]
-        rays = get_event_rays(
-            xs, ys, self._event_poses(samp["idx_start"]),
-            self._event_poses(samp["idx_end"]), self.intrinsics_evs,
-        )
-        batch = dict(rays, pols=samp["pols"])
-        if self.noev_coords is not None and getattr(self, "use_no_ev", True):
-            k5, k6, k7 = jax.random.split(jax.random.fold_in(key, 7), 3)
-            j = jax.random.randint(k5, (), 0, self.noev_coords.shape[0])
-            n_no = self.batch_size_evs // 2
-            sel = jax.random.randint(
-                k6, (n_no,), 0, jnp.maximum(self.noev_count[j], 1))
-            xyno = self.noev_coords[j][sel]  # [n_no, 2]
-            tt = jax.random.uniform(
-                k7, (n_no, 2), minval=self.noev_t0[j], maxval=self.noev_t1[j])
-            tt = jnp.sort(tt, axis=1)
-            p1 = interp_pose_device(
-                self.key_ts, self.key_quats, self.key_trans, tt[:, 0])
-            p2 = interp_pose_device(
-                self.key_ts, self.key_quats, self.key_trans, tt[:, 1])
-            nrays = get_event_rays(
-                xyno[:, 0], xyno[:, 1], p1, p2, self.intrinsics_evs,
+    def _sampler_arrays(self, use_no_ev):
+        arrs = {
+            "chains": self.chains,
+            "intrinsics_evs": self.intrinsics_evs,
+            "key_ts": self.key_ts,
+            "key_quats": self.key_quats,
+            "key_trans": self.key_trans,
+        }
+        if self.poses_evs is not None:
+            arrs["poses_evs"] = self.poses_evs
+        if use_no_ev:
+            arrs.update(
+                noev_coords=self.noev_coords, noev_count=self.noev_count,
+                noev_t0=self.noev_t0, noev_t1=self.noev_t1,
             )
-            batch["rays_no_evs_o1"] = nrays["rays_evs_o1"]
-            batch["rays_no_evs_d1"] = nrays["rays_evs_d1"]
-            batch["rays_no_evs_o2"] = nrays["rays_evs_o2"]
-            batch["rays_no_evs_d2"] = nrays["rays_evs_d2"]
         if self.frames is not None:
-            fi = jax.random.randint(k3, (), 0, self.frame_poses.shape[0])
-            frays = get_rays_sampled(
-                k4, self.frame_poses[fi], self.intrinsics,
-                self.frame_H, self.frame_W, self.num_rays
+            arrs.update(
+                frames=self.frames, frame_poses=self.frame_poses,
+                intrinsics=self.intrinsics,
             )
-            batch["rays_o"] = frays["rays_o"]
-            batch["rays_d"] = frays["rays_d"]
-            batch["images"] = self.frames[fi][frays["inds"]]
-        return batch
+        return arrs
+
+    def train_step_batch(self, key):
+        use_no_ev = (self.noev_coords is not None
+                     and getattr(self, "use_no_ev", True))
+        return _event_sample_jit(
+            key, self._sampler_arrays(use_no_ev),
+            batch_size_evs=self.batch_size_evs,
+            accumulate=self.accumulate_evs,
+            acc_max_num_evs=self.acc_max_num_evs,
+            n_frames=self.n_frames,
+            use_no_ev=use_no_ev,
+            has_frames=self.frames is not None,
+            num_rays=self.num_rays,
+            frame_H=getattr(self, "frame_H", 0),
+            frame_W=getattr(self, "frame_W", 0),
+            precomputed=self.poses_evs is not None,
+        )
 
     def val_views(self):
         if self.frames is None:
