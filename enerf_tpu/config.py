@@ -107,6 +107,12 @@ class Config:
     share_march: int = 0        # event pairs share one march (variance cut)
     syn_frames: int = 40        # synthetic-mode simulator frames
     syn_rich: int = 0           # synthetic-mode rich (high-contrast) scene
+    fuse_steps: int = 16        # train steps fused into one XLA program
+                                # (matches the 16-step occupancy cadence;
+                                # 1 = dispatch per step)
+    grid_block: int = 4         # blockgrid row geometry (4: 1KB rows with
+                                # 5^3 halo, 3: 512B rows — halves the
+                                # byte-bound scatter-add backward)
 
     def validate(self):
         """reference main_nerf.py:78-93 assert_config (with messages)."""

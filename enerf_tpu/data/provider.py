@@ -509,6 +509,15 @@ class FramesProvider:
             self.error_map, self._last_fi, self._last_inds_coarse, per_ray_loss
         )
 
+    def sampler_bundle(self):
+        """(arrays, statics) for the fused multi-step loop (train/chunk.py);
+        the arrays feed _frames_sample_jit inside the scan body."""
+        arrs = {"poses": self.poses, "images": self.images,
+                "intrinsics": self.intrinsics}
+        statics = dict(num_rays=self.num_rays, H=self.H, W=self.W,
+                       use_emap=self.error_map is not None)
+        return arrs, statics
+
     def _views(self, idxs):
         return [
             {
@@ -648,11 +657,8 @@ class EventProvider:
             )
         return arrs
 
-    def train_step_batch(self, key):
-        use_no_ev = (self.noev_coords is not None
-                     and getattr(self, "use_no_ev", True))
-        return _event_sample_jit(
-            key, self._sampler_arrays(use_no_ev),
+    def _sampler_statics(self, use_no_ev):
+        return dict(
             batch_size_evs=self.batch_size_evs,
             accumulate=self.accumulate_evs,
             acc_max_num_evs=self.acc_max_num_evs,
@@ -663,6 +669,20 @@ class EventProvider:
             frame_H=getattr(self, "frame_H", 0),
             frame_W=getattr(self, "frame_W", 0),
             precomputed=self.poses_evs is not None,
+        )
+
+    def sampler_bundle(self):
+        """(arrays, statics) for the fused multi-step loop (train/chunk.py)."""
+        use_no_ev = (self.noev_coords is not None
+                     and getattr(self, "use_no_ev", True))
+        return self._sampler_arrays(use_no_ev), self._sampler_statics(use_no_ev)
+
+    def train_step_batch(self, key):
+        use_no_ev = (self.noev_coords is not None
+                     and getattr(self, "use_no_ev", True))
+        return _event_sample_jit(
+            key, self._sampler_arrays(use_no_ev),
+            **self._sampler_statics(use_no_ev),
         )
 
     def val_views(self):

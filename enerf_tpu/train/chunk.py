@@ -1,0 +1,88 @@
+"""Fused multi-step training: K sampler+step iterations plus one occupancy
+maintenance update compiled into ONE XLA program via lax.scan.
+
+Why: every dispatched program costs a host round-trip (severe over a remote
+TPU tunnel, still material on pods), and the reference's loop shape —
+sample batch, train step, occupancy update every 16 iters
+(nerf/utils.py:575-636, 944-947) — is 2-3 dispatches per iteration.  Here
+the whole 16-step cadence window is a single program: the occupancy update
+runs first (matching the reference's `global_step % 16 == 0` gate), then
+lax.scan drives 16 {sample, grad, Adam, EMA, error-map} iterations with the
+bitfield frozen for the window, exactly like the reference which also
+queries the grid state as-of the last maintenance step.
+
+TPU design: batch SAMPLING lives inside the program too (the providers'
+samplers are pure jnp — data/provider.py), so the only per-window host work
+is feeding the RNG key.  The per-step LR schedule and EMA warmup advance
+per inner step because TrainState.step is in the scan carry.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from enerf_tpu.render.occupancy import update_occupancy
+from enerf_tpu.train.step import event_loss_fn, frames_loss_fn
+from enerf_tpu.train.state import apply_updates
+
+
+def make_train_chunk(ss, opt, mode, sampler_statics, chunk_len=16,
+                     use_occ=True, density_scale=1.0, density_thresh=0.01):
+    """Build chunk(state, occ, arrs, key) -> (state, occ, error_map, aux).
+
+    mode: 'events' | 'frames'.  sampler_statics: the static kwargs for the
+    matching provider sampler (data/provider.py _event_sample_jit /
+    _frames_sample_jit).  arrs: the provider's device-array bundle
+    (EventProvider._sampler_arrays / FramesProvider._sampler_arrays).
+    aux is the per-window mean of every scalar the steps report.
+    """
+    statics = dict(sampler_statics)
+
+    def sample(key, arrs, error_map):
+        # jit-wrapped sampler calls inline when traced inside this program
+        if mode == "events":
+            from enerf_tpu.data.provider import _event_sample_jit
+            return _event_sample_jit(key, arrs, **statics), None, None
+        from enerf_tpu.data.provider import _frames_sample_jit
+        batch, fi, inds_coarse = _frames_sample_jit(
+            key, arrs["poses"], arrs["images"], error_map,
+            arrs["intrinsics"], **statics,
+        )
+        return batch, fi, inds_coarse
+
+    loss_fn = event_loss_fn if mode == "events" else frames_loss_fn
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
+    def chunk(state, occ, arrs, error_map, key):
+        if use_occ:
+            key, k = jax.random.split(key)
+            occ = update_occupancy(
+                state.params, ss.field_static, occ, k,
+                density_scale=density_scale, density_thresh=density_thresh,
+            )
+        occ_bf = occ.occ_bitfield if use_occ else None
+
+        def body(carry, k):
+            state, emap = carry
+            k1, k2 = jax.random.split(k)
+            batch, fi, inds_coarse = sample(k1, arrs, emap)
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, ss, batch, k2, occ_bf)
+            state = apply_updates(state, grads, opt)
+            if emap is not None and inds_coarse is not None:
+                old = emap[fi, inds_coarse]
+                emap = emap.at[fi, inds_coarse].set(
+                    0.1 * old + 0.9 * aux["per_ray_loss"])
+            scalars = {"loss": loss}
+            scalars.update(
+                (n, v) for n, v in aux.items()
+                if isinstance(v, jnp.ndarray) and v.ndim == 0
+            )
+            return (state, emap), scalars
+
+        (state, error_map), auxs = jax.lax.scan(
+            body, (state, error_map), jax.random.split(key, chunk_len))
+        return state, occ, error_map, jax.tree.map(jnp.mean, auxs)
+
+    return chunk

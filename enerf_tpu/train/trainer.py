@@ -62,6 +62,7 @@ class Trainer:
                       if cfg.encoding == "auto" else cfg.encoding),
             use_fused_head=bool(cfg.ff) and bool(cfg.cuda_ray),
             compute_dtype=compute_dtype,
+            grid_block=cfg.grid_block,
         )
         self.ss = StepStatics(
             field_static=self.static,
@@ -197,13 +198,70 @@ class Trainer:
         steps_per_epoch = getattr(provider, "steps_per_epoch", 100)
         t_start = time.time()
 
+        # fused multi-step path (train/chunk.py): K sampler+step iterations
+        # plus the occupancy update in ONE dispatched program.  Falls back
+        # to the per-step loop for sharded/clip/rand-pose training.
+        chunk_len = int(getattr(cfg, "fuse_steps", 1))
+        use_chunk = (
+            chunk_len > 1
+            and self._sharded_step is None
+            and self.clip_guidance is None
+            and getattr(provider, "rand_pose", -1) < 0
+            and hasattr(provider, "sampler_bundle")
+        )
+        self._chunk_cache = getattr(self, "_chunk_cache", {})
+
+        def log_aux(aux, step):
+            loss = float(aux["loss"])
+            extras = " ".join(
+                f"{k}={float(v):.5f}" for k, v in aux.items()
+                if k != "loss" and np.ndim(v) == 0
+            )
+            self.log(
+                f"[train] epoch {self.epoch} step {step} "
+                f"loss={loss:.5f} {extras} "
+                f"({step / (time.time() - t_start):.2f} it/s)"
+            )
+            if self.writer is not None:
+                for name, v in aux.items():
+                    if np.ndim(v) == 0:
+                        self.writer.add_scalar(f"train/{name}", float(v), step)
+            return loss
+
         for epoch in range(self.epoch + 1, max_epoch + 1):
             self.epoch = epoch
             # no-event loss epoch gate (reference utils.py:548)
             if getattr(provider, "noev_coords", None) is not None:
                 provider.use_no_ev = epoch > cfg.epoch_start_noEvLoss
             epoch_losses = []
-            for it in range(steps_per_epoch):
+            it = 0
+            if use_chunk:
+                from enerf_tpu.train.chunk import make_train_chunk
+                arrs, statics = provider.sampler_bundle()
+                mode = "events" if cfg.events else "frames"
+                ck = (mode, tuple(sorted(statics.items())), chunk_len)
+                if ck not in self._chunk_cache:
+                    self._chunk_cache[ck] = make_train_chunk(
+                        self.ss, self.opt, mode, statics,
+                        chunk_len=chunk_len,
+                        use_occ=self.occupancy is not None,
+                        density_scale=cfg.density_scale,
+                        density_thresh=cfg.density_thresh,
+                    )
+                chunk_fn = self._chunk_cache[ck]
+                emap = getattr(provider, "error_map", None)
+                while it + chunk_len <= steps_per_epoch:
+                    key, k = jax.random.split(key)
+                    self.state, self.occupancy, emap, aux = chunk_fn(
+                        self.state, self.occupancy, arrs, emap, k)
+                    prev = global_step
+                    it += chunk_len
+                    global_step += chunk_len
+                    if global_step // cfg.log_every != prev // cfg.log_every:
+                        epoch_losses.append(log_aux(aux, global_step))
+                if emap is not None:
+                    provider.error_map = emap
+            for it in range(it, steps_per_epoch):
                 if self.occupancy is not None and global_step % 16 == 0:
                     key, k = jax.random.split(key)
                     self.occupancy = update_occupancy(
@@ -219,21 +277,7 @@ class Trainer:
                     provider.update_error_map(aux["per_ray_loss"])
                 global_step += 1
                 if global_step % cfg.log_every == 0:
-                    loss = float(aux["loss"])
-                    epoch_losses.append(loss)
-                    extras = " ".join(
-                        f"{k}={float(v):.5f}" for k, v in aux.items()
-                        if k != "loss" and np.ndim(v) == 0
-                    )
-                    self.log(
-                        f"[train] epoch {epoch} step {global_step} "
-                        f"loss={loss:.5f} {extras} "
-                        f"({global_step / (time.time() - t_start):.2f} it/s)"
-                    )
-                    if self.writer is not None:
-                        for k2n, v in aux.items():
-                            if np.ndim(v) == 0:
-                                self.writer.add_scalar(f"train/{k2n}", float(v), global_step)
+                    epoch_losses.append(log_aux(aux, global_step))
 
             if epoch_losses:
                 self.stats["loss"].append(float(np.mean(epoch_losses)))

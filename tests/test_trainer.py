@@ -88,6 +88,33 @@ def test_trainer_occupancy_path(tmp_path):
     assert img.shape == (cfg.H, cfg.W, 3) and np.isfinite(img).all()
 
 
+def test_fused_chunk_matches_per_step_convergence(tmp_path):
+    """train/chunk.py: the fused 16-step program must advance the step
+    count exactly, update occupancy on the 16-step cadence, update the
+    error map, and converge like the per-step path."""
+    from enerf_tpu.train.trainer import Trainer
+    from enerf_tpu.data.provider import make_providers
+
+    final_losses = {}
+    for fuse in (1, 16):
+        cfg = tiny_cfg(tmp_path, cuda_ray=True, error_map=True,
+                       fuse_steps=fuse, expname=f"fuse{fuse}", log_every=4)
+        trainer = Trainer(cfg, use_checkpoint="scratch")
+        train_p, val_p = make_providers(cfg)
+        train_p.steps_per_epoch = 32
+        trainer.train(train_p, None, max_epoch=1)
+        assert int(trainer.state.step) == 32
+        assert int(trainer.occupancy.iter_density) == 2  # steps 0 and 16
+        em = np.asarray(train_p.error_map)
+        assert em.std() > 0, "error map not updated"
+        final_losses[fuse] = trainer.stats["loss"][-1]
+    # both paths land in the same loss regime (seeded but different RNG
+    # streams; convergence-level agreement, not bitwise)
+    a, b = final_losses[1], final_losses[16]
+    assert np.isfinite(a) and np.isfinite(b)
+    assert abs(a - b) < 0.5 * max(a, b) + 0.05, final_losses
+
+
 def test_cli_smoke(tmp_path):
     import main as cli
 
