@@ -113,6 +113,9 @@ class Config:
     grid_block: int = 4         # blockgrid row geometry (4: 1KB rows with
                                 # 5^3 halo, 3: 512B rows — halves the
                                 # byte-bound scatter-add backward)
+    ckpt_interval: int = 1      # epochs between rotating checkpoint saves
+                                # (each save pulls the full train state to
+                                # host — costly over a remote-TPU link)
 
     def validate(self):
         """reference main_nerf.py:78-93 assert_config (with messages)."""

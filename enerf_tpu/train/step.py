@@ -54,6 +54,32 @@ class StepStatics(NamedTuple):
     clip_embedder: Any = None
 
 
+def _render_pair_shared(params, ss, o1, d1, o2, d2, bg, rng, occ):
+    """One DDA march on the first ray of a correlated pair; both renders
+    composite from its sample t-values (StepStatics.share_march)."""
+    from enerf_tpu.ops.aabb import near_far_from_aabb
+    from enerf_tpu.render.march import march_rays, composite_from_march
+    fs = ss.field_static
+    b = fs.bound
+    aabb = jnp.asarray([-b, -b, -b, b, b, b], jnp.float32)
+    nears, fars = near_far_from_aabb(o1, d1, aabb, ss.min_near)
+    ts, dts, valid = march_rays(
+        o1, d1, occ, nears, fars, rng,
+        num_samples=ss.march_samples, max_steps=ss.max_steps,
+        cascades=occ.shape[0], bound=b, dt_gamma=ss.dt_gamma,
+        perturb=True,
+    )
+    outs = tuple(
+        composite_from_march(
+            params, fs, o, d, ts, dts, valid, nears, fars,
+            bg_color=bg, density_scale=ss.density_scale,
+            compact_frac=ss.compact_frac,
+        )
+        for o, d in ((o1, d1), (o2, d2))
+    )
+    return outs
+
+
 def _render(params, ss, rays_o, rays_d, bg, rng, occ_bitfield=None):
     if ss.use_march and occ_bitfield is not None:
         from enerf_tpu.render.march import render_rays_march
@@ -98,29 +124,9 @@ def event_loss_fn(params, ss, batch, rng, occ=None):
     bg = jnp.broadcast_to(jax.random.uniform(k_bg, (1, C)), (N, C))
 
     if ss.use_march and ss.share_march and occ is not None:
-        from enerf_tpu.ops.aabb import near_far_from_aabb
-        from enerf_tpu.render.march import march_rays, composite_from_march
-        fs = ss.field_static
-        b = fs.bound
-        aabb = jnp.asarray([-b, -b, -b, b, b, b], jnp.float32)
-        o1, d1 = batch["rays_evs_o1"], batch["rays_evs_d1"]
-        o2, d2 = batch["rays_evs_o2"], batch["rays_evs_d2"]
-        nears, fars = near_far_from_aabb(o1, d1, aabb, ss.min_near)
-        ts, dts, valid = march_rays(
-            o1, d1, occ, nears, fars, k1,
-            num_samples=ss.march_samples, max_steps=ss.max_steps,
-            cascades=occ.shape[0], bound=b, dt_gamma=ss.dt_gamma,
-            perturb=True,
-        )
-        out1 = composite_from_march(
-            params, fs, o1, d1, ts, dts, valid, nears, fars,
-            bg_color=bg, density_scale=ss.density_scale,
-            compact_frac=ss.compact_frac,
-        )
-        out2 = composite_from_march(
-            params, fs, o2, d2, ts, dts, valid, nears, fars,
-            bg_color=bg, density_scale=ss.density_scale,
-            compact_frac=ss.compact_frac,
+        out1, out2 = _render_pair_shared(
+            params, ss, batch["rays_evs_o1"], batch["rays_evs_d1"],
+            batch["rays_evs_o2"], batch["rays_evs_d2"], bg, k1, occ,
         )
     else:
         out1 = _render(params, ss, batch["rays_evs_o1"], batch["rays_evs_d1"], bg, k1, occ)
@@ -147,8 +153,16 @@ def event_loss_fn(params, ss, batch, rng, occ=None):
     if ss.negative_event_sampling and "rays_no_evs_o1" in batch:
         M = batch["rays_no_evs_o1"].shape[0]
         bg2 = jnp.broadcast_to(jax.random.uniform(k3, (1, C)), (M, C))
-        no1 = _render(params, ss, batch["rays_no_evs_o1"], batch["rays_no_evs_d1"], bg2, k4, occ)
-        no2 = _render(params, ss, batch["rays_no_evs_o2"], batch["rays_no_evs_d2"], bg2, k4, occ)
+        if ss.use_march and ss.share_march and occ is not None:
+            # the no-event pair's rays are as tightly correlated as the
+            # event pair's — share one DDA march here too
+            no1, no2 = _render_pair_shared(
+                params, ss, batch["rays_no_evs_o1"], batch["rays_no_evs_d1"],
+                batch["rays_no_evs_o2"], batch["rays_no_evs_d2"], bg2, k4, occ,
+            )
+        else:
+            no1 = _render(params, ss, batch["rays_no_evs_o1"], batch["rays_no_evs_d1"], bg2, k4, occ)
+            no2 = _render(params, ss, batch["rays_no_evs_o2"], batch["rays_no_evs_d2"], bg2, k4, occ)
         nll1 = losses.log_intensity(no1["image"], ss.use_luma, True)
         nll2 = losses.log_intensity(no2["image"], ss.use_luma, True)
         lne = losses.no_event_loss(nll2 - nll1, ss.C_thres, ss.w_no_ev)

@@ -282,7 +282,9 @@ class Trainer:
             if epoch_losses:
                 self.stats["loss"].append(float(np.mean(epoch_losses)))
 
-            self.ckpt.save(self.state, self.occupancy, epoch, self.stats)
+            if epoch % max(int(getattr(cfg, "ckpt_interval", 1)), 1) == 0 \
+                    or epoch == max_epoch:
+                self.ckpt.save(self.state, self.occupancy, epoch, self.stats)
 
             if valid_provider is not None and epoch % cfg.eval_interval == 0:
                 results = self.evaluate(valid_provider)

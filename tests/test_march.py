@@ -224,6 +224,18 @@ def test_shared_march_event_step():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], "shared-march step did not reduce loss"
 
+    # no-event pair shares its march too (step.py _render_pair_shared)
+    ss_no = ss._replace(negative_event_sampling=True)
+    batch_no = dict(
+        batch,
+        rays_no_evs_o1=o, rays_no_evs_d1=d,
+        rays_no_evs_o2=o + 0.005, rays_no_evs_d2=d,
+    )
+    state, aux = train_step_events(
+        state, batch_no, jax.random.PRNGKey(99), ss_no, opt, occ_bf
+    )
+    assert "loss_no_evs" in aux and np.isfinite(float(aux["loss_no_evs"]))
+
 
 def test_march_long_corridor_recall():
     """bound=3 worst case: a far-corner cluster behind a long empty
