@@ -15,12 +15,22 @@ TPU design: batch SAMPLING lives inside the program too (the providers'
 samplers are pure jnp — data/provider.py), so the only per-window host work
 is feeding the RNG key.  The per-step LR schedule and EMA warmup advance
 per inner step because TrainState.step is in the scan carry.
+
+Multi-chip: pass a mesh and the same program runs under shard_map over the
+('data',) axis — each chip folds its axis index into the sampling key and
+draws its OWN batch from the replicated dataset arrays (so the global batch
+is n_devices x the per-chip batch), the gradient mean becomes a psum over
+ICI, and parameters/optimizer/EMA stay replicated because every chip applies
+the identical pmean'd update.  This is the role of the reference's dead DDP
+scaffolding (utils.py:351-354) composed with its CUDA train loop — which the
+reference never achieves — in one XLA program per 16-step window.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from enerf_tpu.render.occupancy import update_occupancy
 from enerf_tpu.train.step import event_loss_fn, frames_loss_fn
@@ -28,14 +38,21 @@ from enerf_tpu.train.state import apply_updates
 
 
 def make_train_chunk(ss, opt, mode, sampler_statics, chunk_len=16,
-                     use_occ=True, density_scale=1.0, density_thresh=0.01):
-    """Build chunk(state, occ, arrs, key) -> (state, occ, error_map, aux).
+                     use_occ=True, density_scale=1.0, density_thresh=0.01,
+                     mesh=None):
+    """Build chunk(state, occ, arrs, error_map, key) -> (state, occ,
+    error_map, aux).
 
     mode: 'events' | 'frames'.  sampler_statics: the static kwargs for the
     matching provider sampler (data/provider.py _event_sample_jit /
     _frames_sample_jit).  arrs: the provider's device-array bundle
     (EventProvider._sampler_arrays / FramesProvider._sampler_arrays).
     aux is the per-window mean of every scalar the steps report.
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis — the chunk then
+    runs data-parallel (see module docstring); all five arguments are
+    replicated and the per-chip sample batch size comes from
+    sampler_statics, so the effective global batch is mesh.size x larger.
     """
     statics = dict(sampler_statics)
 
@@ -52,23 +69,37 @@ def make_train_chunk(ss, opt, mode, sampler_statics, chunk_len=16,
         return batch, fi, inds_coarse
 
     loss_fn = event_loss_fn if mode == "events" else frames_loss_fn
+    dp = mesh is not None
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
-    def chunk(state, occ, arrs, error_map, key):
+    def chunk_impl(state, occ, arrs, error_map, key):
         if use_occ:
             key, k = jax.random.split(key)
+            # identical (replicated) maintenance on every chip: same key ->
+            # same grid; off the hot path (once per window)
             occ = update_occupancy(
                 state.params, ss.field_static, occ, k,
                 density_scale=density_scale, density_thresh=density_thresh,
             )
         occ_bf = occ.occ_bitfield if use_occ else None
+        emap_in = error_map
+
+        if dp:
+            my_lane = jax.lax.axis_index("data")
+            if error_map is not None:
+                # the scatter updates below are chip-varying; mark the scan
+                # carry as such up front
+                error_map = jax.lax.pcast(error_map, "data", to="varying")
 
         def body(carry, k):
             state, emap = carry
+            if dp:
+                k = jax.random.fold_in(k, my_lane)
             k1, k2 = jax.random.split(k)
             batch, fi, inds_coarse = sample(k1, arrs, emap)
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, ss, batch, k2, occ_bf)
+            if dp:
+                grads = jax.lax.pmean(grads, "data")
             state = apply_updates(state, grads, opt)
             if emap is not None and inds_coarse is not None:
                 old = emap[fi, inds_coarse]
@@ -79,10 +110,31 @@ def make_train_chunk(ss, opt, mode, sampler_statics, chunk_len=16,
                 (n, v) for n, v in aux.items()
                 if isinstance(v, jnp.ndarray) and v.ndim == 0
             )
+            if dp:
+                scalars = jax.lax.pmean(scalars, "data")
             return (state, emap), scalars
 
         (state, error_map), auxs = jax.lax.scan(
             body, (state, error_map), jax.random.split(key, chunk_len))
+        if dp and error_map is not None:
+            # merge the chips' scatter updates back to one replicated map:
+            # base + sum of per-chip deltas (cross-chip collisions on the
+            # same pixel add — acceptable for an error-sampling prior)
+            error_map = emap_in + jax.lax.psum(error_map - emap_in, "data")
         return state, occ, error_map, jax.tree.map(jnp.mean, auxs)
 
-    return chunk
+    if not dp:
+        return jax.jit(chunk_impl, donate_argnums=(0, 1, 3))
+
+    repl = NamedSharding(mesh, P())
+    sharded = jax.shard_map(
+        chunk_impl, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    return jax.jit(
+        sharded,
+        in_shardings=(repl, repl, repl, repl, repl),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1, 3),
+    )

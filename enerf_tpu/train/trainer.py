@@ -199,12 +199,13 @@ class Trainer:
         t_start = time.time()
 
         # fused multi-step path (train/chunk.py): K sampler+step iterations
-        # plus the occupancy update in ONE dispatched program.  Falls back
-        # to the per-step loop for sharded/clip/rand-pose training.
+        # plus the occupancy update in ONE dispatched program; with a mesh it
+        # runs data-parallel under shard_map (each chip samples its own
+        # batch, grads pmean over ICI).  Falls back to the per-step loop for
+        # clip/rand-pose training.
         chunk_len = int(getattr(cfg, "fuse_steps", 1))
         use_chunk = (
             chunk_len > 1
-            and self._sharded_step is None
             and self.clip_guidance is None
             and getattr(provider, "rand_pose", -1) < 0
             and hasattr(provider, "sampler_bundle")
@@ -239,7 +240,8 @@ class Trainer:
                 from enerf_tpu.train.chunk import make_train_chunk
                 arrs, statics = provider.sampler_bundle()
                 mode = "events" if cfg.events else "frames"
-                ck = (mode, tuple(sorted(statics.items())), chunk_len)
+                ck = (mode, tuple(sorted(statics.items())), chunk_len,
+                      self.mesh is not None)
                 if ck not in self._chunk_cache:
                     self._chunk_cache[ck] = make_train_chunk(
                         self.ss, self.opt, mode, statics,
@@ -247,6 +249,7 @@ class Trainer:
                         use_occ=self.occupancy is not None,
                         density_scale=cfg.density_scale,
                         density_thresh=cfg.density_thresh,
+                        mesh=self.mesh,
                     )
                 chunk_fn = self._chunk_cache[ck]
                 emap = getattr(provider, "error_map", None)

@@ -134,6 +134,92 @@ def test_dryrun_multichip_entrypoint():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_train_chunk_events():
+    """The fused K-step window (train/chunk.py) composes with the data
+    mesh: each chip samples its own event batch inside the program, grads
+    pmean over the axis, state stays replicated, loss decreases."""
+    from enerf_tpu.data import synthetic
+    from enerf_tpu.data.provider import EventProvider
+    from enerf_tpu.train.chunk import make_train_chunk
+
+    data = synthetic.simulate_events(H=32, W=32, n_frames=20, C=0.12, turns=0.4)
+    prov = EventProvider(
+        data["events"], data["frame_ts"], data["poses"], data["intrinsics"],
+        32, 32, batch_size_evs=64,
+    )
+    arrs, statics = prov.sampler_bundle()
+
+    static = FieldStatic(bound=1.0, out_dim_color=1, num_levels=4,
+                         log2_hashmap_size=10)
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    state, opt = init_train_state(params, lr0=1e-2, iters=100)
+    ss = StepStatics(
+        field_static=static, num_steps=16, upsample_steps=0, min_near=0.2,
+        density_scale=1.0, C_thres=0.12, event_only=True, use_luma=False,
+        linlog=True, weight_loss_rgb=1.0, negative_event_sampling=False,
+        w_no_ev=1.0, out_dim_color=1,
+    )
+
+    mesh = make_mesh(8)
+    chunk = make_train_chunk(ss, opt, "events", statics, chunk_len=4,
+                             use_occ=False, mesh=mesh)
+    losses = []
+    key = jax.random.PRNGKey(3)
+    occ = None
+    for _ in range(4):
+        key, k = jax.random.split(key)
+        state, occ, _, aux = chunk(state, occ, arrs, None, k)
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], "sharded chunk did not reduce loss"
+    # state must remain replicated and consistent across all 8 shards
+    p0 = next(iter(state.params.values()))
+    assert p0.sharding.is_fully_replicated
+    for shard in p0.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data), np.asarray(p0))
+    assert int(state.step) == 16  # 4 windows x 4 inner steps
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_train_chunk_frames_error_map():
+    """Frames mode under the sharded chunk: the per-chip error-map scatter
+    updates merge back into ONE replicated map (base + psum of deltas)."""
+    from enerf_tpu.data import synthetic
+    from enerf_tpu.data.provider import FramesProvider
+    from enerf_tpu.train.chunk import make_train_chunk
+
+    imgs = np.random.default_rng(0).uniform(
+        size=(3, 16, 16, 1)).astype(np.float32)
+    poses = np.stack([synthetic.circle_pose(t) for t in (0.0, 0.2, 0.4)])
+    prov = FramesProvider(imgs, poses, synthetic.default_intrinsics(16, 16),
+                          num_rays=32, error_map=True)
+    arrs, statics = prov.sampler_bundle()
+
+    static = FieldStatic(bound=1.0, out_dim_color=1, num_levels=4,
+                         log2_hashmap_size=10)
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    state, opt = init_train_state(params, lr0=1e-2, iters=100)
+    ss = StepStatics(
+        field_static=static, num_steps=16, upsample_steps=0, min_near=0.2,
+        density_scale=1.0, C_thres=0.2, event_only=False, use_luma=False,
+        linlog=False, weight_loss_rgb=1.0, negative_event_sampling=False,
+        w_no_ev=1.0, out_dim_color=1,
+    )
+
+    mesh = make_mesh(8)
+    chunk = make_train_chunk(ss, opt, "frames", statics, chunk_len=2,
+                             use_occ=False, mesh=mesh)
+    emap = prov.error_map
+    before = np.asarray(emap).copy()
+    state, _, emap, aux = chunk(state, None, arrs, emap, jax.random.PRNGKey(5))
+    assert np.isfinite(float(aux["loss"]))
+    after = np.asarray(emap)
+    assert emap.sharding.is_fully_replicated
+    assert (after != before).sum() > 0, "error map not updated"
+    assert np.isfinite(after).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_eval_render_matches_single_device():
     """Multi-chip eval tiling (SURVEY M5): rays sharded over the mesh,
     image gathered — must equal the single-device render."""
