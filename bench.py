@@ -56,6 +56,9 @@ def main(argv=None):
     ap.add_argument("--share_march", type=int, default=0)
     ap.add_argument("--grid_block", type=int, default=4)
     ap.add_argument("--fast_table_grad", type=int, default=0)
+    ap.add_argument("--num_levels", type=int, default=16)
+    ap.add_argument("--level_dim", type=int, default=2)
+    ap.add_argument("--bf16_gather", type=int, default=1)
     args = ap.parse_args(argv)
 
     n_rays = args.n_rays   # per-render ray batch (x2 renders per step)
@@ -66,6 +69,8 @@ def main(argv=None):
         bound=1.0, out_dim_color=1, encoding="blockgrid",
         compute_dtype=jnp.bfloat16, grid_block=args.grid_block,
         fast_table_grad=bool(args.fast_table_grad),
+        num_levels=args.num_levels, level_dim=args.level_dim,
+        bf16_gather=bool(args.bf16_gather),
     )
     params = init_field_params(jax.random.PRNGKey(0), static)
     state, opt = init_train_state(params, lr0=1e-2, iters=10000)

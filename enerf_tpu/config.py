@@ -99,6 +99,9 @@ class Config:
 
     # TPU-specific additions (not in the reference)
     mesh_shape: Optional[List[int]] = None  # devices per ('data',) axis; None = all
+    multihost: int = 0          # pod-slice run: jax.distributed.initialize +
+                                # mesh over ALL processes' devices; file
+                                # writes gated to process 0 (parallel/multihost.py)
     log_every: int = 100
     max_keep_ckpt: int = 2
     march_samples: int = 64     # live-sample buffer per ray (march path)
@@ -113,6 +116,11 @@ class Config:
     grid_block: int = 4         # blockgrid row geometry (4: 1KB rows with
                                 # 5^3 halo, 3: 512B rows — halves the
                                 # byte-bound scatter-add backward)
+    num_levels: int = 16        # grid encoder levels (reference hard-codes
+    level_dim: int = 2          # 16x2, network.py:35-43; exposed here for
+                                # the TPU-first gather-count ablation:
+                                # 8 levels x 4 feats halves the per-sample
+                                # address-bound gathers at equal output dim)
     ckpt_interval: int = 1      # epochs between rotating checkpoint saves
                                 # (each save pulls the full train state to
                                 # host — costly over a remote-TPU link)

@@ -43,7 +43,7 @@ class FieldStatic:
             self.out_dim_color, self.disable_view_direction, self.bg_radius,
             self.num_layers_bg, self.hidden_dim_bg, str(self.compute_dtype),
             self.encoding, self.grid_meta, self.use_fused_head,
-            self.fast_table_grad, self.grid_block,
+            self.fast_table_grad, self.grid_block, self.bf16_gather,
         )
 
     def __hash__(self):
@@ -80,10 +80,16 @@ class FieldStatic:
                                # ops/scatter_accum.block_encode_fast).
                                # Default off until TPU-validated; bench.py
                                # enables it explicitly.
+        bf16_gather=None,      # gather table rows in bf16 (500 B blk4 rows
+                               # = address-rate bound; backward scatter
+                               # stays f32 — ops/blockgrid.block_encode_bf16).
+                               # None: follow compute_dtype.
         compute_dtype=jnp.float32,
     ):
         self.use_fused_head = use_fused_head
         self.fast_table_grad = fast_table_grad
+        self.bf16_gather = (compute_dtype == jnp.bfloat16
+                            if bf16_gather is None else bool(bf16_gather))
         self.bound = float(bound)
         self.num_layers = num_layers
         self.hidden_dim = hidden_dim
@@ -231,6 +237,9 @@ def _encode(params, static, x01):
         if static.fast_table_grad:
             from enerf_tpu.ops.scatter_accum import block_encode_fast
             return block_encode_fast(x01, table, static.grid_meta)
+        if static.bf16_gather:
+            from enerf_tpu.ops.blockgrid import block_encode_bf16
+            return block_encode_bf16(x01, table, static.grid_meta)
         return block_encode(x01, table, static.grid_meta)
     return hash_encode(x01, table, static.grid_meta)
 
@@ -238,8 +247,10 @@ def _encode(params, static, x01):
 def field_density(params, static, x):
     """x: [N, 3] in [-bound, bound] -> (sigma [N], geo_feat [N, G])."""
     x01 = (x + static.bound) / (2.0 * static.bound)
-    # table stays f32: the gather is address-rate-bound (f32 == bf16 speed,
-    # BENCH_NOTES.md) and the backward scatter-add then accumulates in f32
+    # table PARAMS stay f32 (backward scatter + Adam accumulate in f32);
+    # under bf16 compute the forward gather reads a bf16 copy so blk4 rows
+    # are 500 B — back under the ~512 B free-gather width (BENCH_NOTES.md,
+    # ops/blockgrid.block_encode_bf16)
     enc = _encode(params, static, x01)
     h = _mlp(params, "sigma", static.num_layers, enc, static.compute_dtype)
     sigma = trunc_exp(h[..., 0].astype(jnp.float32))

@@ -157,6 +157,27 @@ def block_address(x, meta):
     return rid, lo, frac
 
 
+def _trilinear_weights(lo, frac, meta):
+    """Per-cell trilinear weights on a flat [row_cells] iota.
+
+    lo: [..., 3] int32 cell offsets, frac: [..., 3] f32 -> W [..., RC] f32
+    with W[p] = wx(px) * wy(py) * wz(pz).
+    """
+    HA, RC = meta.halo, meta.row_cells
+    p = np.arange(RC)
+    pxs = jnp.asarray(p // (HA * HA), jnp.int32)
+    pys = jnp.asarray((p // HA) % HA, jnp.int32)
+    pzs = jnp.asarray(p % HA, jnp.int32)
+
+    def axis_w(pidx, d):
+        l = lo[..., d][..., None]
+        f = frac[..., d][..., None]
+        return (jnp.where(pidx == l, 1.0 - f, 0.0)
+                + jnp.where(pidx == l + 1, f, 0.0))
+
+    return axis_w(pxs, 0) * axis_w(pys, 1) * axis_w(pzs, 2)
+
+
 def _encode_chunk(x, table, meta):
     """[n, 3] in [0, 1] (pre-clipped) -> [n, L, C].
 
@@ -172,20 +193,8 @@ def _encode_chunk(x, table, meta):
     rid_local, lo, frac = block_address(x, meta)
     rid = rid_local + meta._offsets_dev[None, :]
 
-    # per-cell weights on a flat [row_cells] iota:
-    # W[p] = wx(px) * wy(py) * wz(pz)
-    HA, RC = meta.halo, meta.row_cells
-    p = np.arange(RC)
-    pxs = jnp.asarray(p // (HA * HA), jnp.int32)
-    pys = jnp.asarray((p // HA) % HA, jnp.int32)
-    pzs = jnp.asarray(p % HA, jnp.int32)
-
-    def axis_w(pidx, d):
-        l = lo[..., d][..., None]                         # [n, L, 1]
-        f = frac[..., d][..., None]
-        return jnp.where(pidx == l, 1.0 - f, 0.0) + jnp.where(pidx == l + 1, f, 0.0)
-
-    W = axis_w(pxs, 0) * axis_w(pys, 1) * axis_w(pzs, 2)  # [n, L, 125]
+    RC = meta.row_cells
+    W = _trilinear_weights(lo, frac, meta)                # [n, L, 125]
 
     rows = table[rid]                                     # [n, L, C*125] gather
     W = W.astype(rows.dtype)
@@ -225,3 +234,72 @@ def block_encode(x01, table, meta, point_chunk=1 << 16):
 
     out = jnp.where(oob[:, None, None], 0.0, out)
     return out.reshape(N, L * C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def block_encode_bf16(x01, table, meta):
+    """block_encode with the GATHER running on a bf16 copy of the table.
+
+    Why: blk4 f32 rows are 1 KB — past the ~512 B width where TPU gathers
+    stop being free (BENCH_NOTES: >=512 B rows run ~60 GB/s byte-bound,
+    <=512 B run ~100 M rows/s address-bound).  bf16 halves the row to
+    500 B, putting the forward back on the address-rate ceiling.  The
+    one-off table cast (8 MB) is amortized over ~2 M row gathers per step.
+
+    Precision: forward activations carry bf16 table values (0.4% relative
+    — the MLP consuming them already computes in bf16; the reference
+    stores its whole table in fp16 under --fp16, grid.py:133-135).
+    Parameters, the backward scatter-add, and Adam all stay f32: the
+    encode is linear in the table, so its table-VJP (scatter of the
+    trilinear weights x output grads) never reads table values and is
+    evaluated here in full f32.
+
+    Position gradients are zero (rays are data, not parameters — same
+    contract as ops/scatter_accum.block_encode_fast).
+    """
+    return block_encode(x01, table.astype(jnp.bfloat16), meta)
+
+
+def _beb_fwd(x01, table, meta):
+    return block_encode_bf16(x01, table, meta), x01
+
+
+def _beb_bwd(meta, x01, g, point_chunk=1 << 16):
+    """Direct f32 scatter-add of W (x) g — the same math XLA derives for
+    block_encode's table-VJP, minus the forward re-trace; chunked to bound
+    the [chunk, L, C*RC] row materialization."""
+    N = x01.shape[0]
+    L, C, RC = meta.num_levels, meta.level_dim, meta.row_cells
+
+    x = jnp.clip(x01.astype(jnp.float32), 0.0, 1.0)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)
+    g = jnp.where(oob[:, None, None], 0.0,
+                  g.reshape(N, L, C).astype(jnp.float32))
+
+    def chunk_grad(gtab, xc, gc):
+        rid, lo, frac = block_address(xc, meta)
+        flat = rid + meta._offsets_dev[None, :]
+        W = _trilinear_weights(lo, frac, meta)            # [n, L, RC]
+        rows = jnp.concatenate(
+            [gc[..., c : c + 1] * W for c in range(C)], axis=-1)
+        return gtab.at[flat.reshape(-1)].add(
+            rows.reshape(-1, C * RC), mode="drop")
+
+    gtab = jnp.zeros((meta.total_rows, RC * C), jnp.float32)
+    if N <= point_chunk:
+        gtab = chunk_grad(gtab, x, g)
+    else:
+        n_chunks = -(-N // point_chunk)
+        pad = n_chunks * point_chunk - N
+        xp = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], 0)
+        gp = jnp.concatenate([g, jnp.zeros((pad, L, C), g.dtype)], 0)
+        gtab, _ = jax.lax.scan(
+            lambda t, args: (chunk_grad(t, *args), None),
+            gtab,
+            (xp.reshape(n_chunks, point_chunk, 3),
+             gp.reshape(n_chunks, point_chunk, L, C)),
+        )
+    return jnp.zeros_like(x01), gtab
+
+
+block_encode_bf16.defvjp(_beb_fwd, _beb_bwd)

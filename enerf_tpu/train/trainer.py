@@ -45,6 +45,9 @@ class Trainer:
     def __init__(self, cfg, workspace=None, use_checkpoint=None, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
+        # multi-host: only process 0 writes files (logs, ckpts, tensorboard,
+        # validation images) — reference utils.py:472-479, 1084-1085
+        self.primary = jax.process_index() == 0
         # reference main_nerf.py:46-52: --ff/--tcnn force fp16; on TPU they
         # select the block-packed encoder + bf16 compute.  The three
         # backbones stay distinct (reference network.py / network_ff.py /
@@ -63,6 +66,8 @@ class Trainer:
             use_fused_head=bool(cfg.ff) and bool(cfg.cuda_ray),
             compute_dtype=compute_dtype,
             grid_block=cfg.grid_block,
+            num_levels=cfg.num_levels,
+            level_dim=cfg.level_dim,
         )
         self.ss = StepStatics(
             field_static=self.static,
@@ -104,8 +109,9 @@ class Trainer:
         )
         os.makedirs(self.workspace, exist_ok=True)
         self.log_path = os.path.join(self.workspace, "log.txt")
-        with open(os.path.join(self.workspace, "args.json"), "w") as f:
-            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+        if self.primary:
+            with open(os.path.join(self.workspace, "args.json"), "w") as f:
+                json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
         self.ckpt = CheckpointManager(
             os.path.join(self.workspace, "checkpoints"),
@@ -118,6 +124,8 @@ class Trainer:
         # tensorboard scalars (reference tensorboardX usage, utils.py:975-989)
         self.writer = None
         try:
+            if not self.primary:
+                raise RuntimeError("non-primary process: no tensorboard")
             from torch.utils.tensorboard import SummaryWriter
             self.writer = SummaryWriter(os.path.join(self.workspace, "tb"))
         except Exception:
@@ -144,6 +152,8 @@ class Trainer:
     # ------------------------------------------------------------------ util
 
     def log(self, *msg):
+        if not self.primary:
+            return  # rank-0-only logging (reference utils.py:472-479)
         line = " ".join(str(m) for m in msg)
         print(line, flush=True)
         with open(self.log_path, "a") as f:
@@ -184,9 +194,10 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed + 1)
 
         # per-run dataset diagnostics (reference plot_utils auto dumps)
-        from enerf_tpu.utils.plotting import dump_run_diagnostics
-        for p in dump_run_diagnostics(self.workspace, provider):
-            self.log(f"[diag] {p}")
+        if self.primary:
+            from enerf_tpu.utils.plotting import dump_run_diagnostics
+            for p in dump_run_diagnostics(self.workspace, provider):
+                self.log(f"[diag] {p}")
 
         if self.occupancy is not None and hasattr(provider, "train_poses"):
             self.occupancy = mark_untrained_grid(
@@ -285,8 +296,9 @@ class Trainer:
             if epoch_losses:
                 self.stats["loss"].append(float(np.mean(epoch_losses)))
 
-            if epoch % max(int(getattr(cfg, "ckpt_interval", 1)), 1) == 0 \
-                    or epoch == max_epoch:
+            if self.primary and (
+                    epoch % max(int(getattr(cfg, "ckpt_interval", 1)), 1) == 0
+                    or epoch == max_epoch):
                 self.ckpt.save(self.state, self.occupancy, epoch, self.stats)
 
             if valid_provider is not None and epoch % cfg.eval_interval == 0:
@@ -295,7 +307,9 @@ class Trainer:
                 self.stats["psnr"].append(metric)
                 if metric > self.best_metric:
                     self.best_metric = metric
-                    self.ckpt.save_best(self.state, self.occupancy, epoch, self.stats)
+                    if self.primary:
+                        self.ckpt.save_best(
+                            self.state, self.occupancy, epoch, self.stats)
         self.log(f"[train] done at epoch {self.epoch}, step {global_step}")
 
     # ------------------------------------------------------------------ eval
@@ -368,7 +382,12 @@ class Trainer:
         return img, depth
 
     def evaluate(self, provider, save=True):
-        """Reference evaluate_one_epoch incl. event-only (a,b) correction."""
+        """Reference evaluate_one_epoch incl. event-only (a,b) correction.
+
+        Multi-host: every process renders (the sharded render is a
+        collective program), only process 0 writes images.
+        """
+        save = save and self.primary
         views = provider.val_views()
         preds, gts, depths = [], [], []
         for v in views:
@@ -467,6 +486,8 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
         for j, v in enumerate(provider.test_views()):
             img, depth = self.render_view(v["pose"], v["intrinsics"], v["H"], v["W"])
+            if not self.primary:
+                continue  # all processes render (collective), rank 0 writes
             img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
             if img8.shape[-1] == 3:
                 img8 = cv2.cvtColor(img8, cv2.COLOR_RGB2BGR)
@@ -478,6 +499,8 @@ class Trainer:
 
     def save_mesh(self, path=None, resolution=256, threshold=10.0):
         """Density isosurface export (reference save_mesh, utils.py:712-732)."""
+        if not self.primary:
+            return None  # single-device query + file write: rank 0 only
         from enerf_tpu.utils.mesh import extract_geometry, write_obj, write_ply
         path = path or os.path.join(self.workspace, "meshes",
                                     f"{self.cfg.expname}_ep{self.epoch:04d}.obj")

@@ -53,7 +53,13 @@ def main(argv=None):
     select_frames = get_select_frames(cfg)
 
     mesh = None
-    if cfg.mesh_shape:
+    if cfg.multihost:
+        # pod-slice run: same command on every worker
+        # (launch/tpu_pod_launch.sh); topology from the TPU runtime
+        from enerf_tpu.parallel import multihost
+        multihost.initialize()
+        mesh = multihost.global_mesh()
+    elif cfg.mesh_shape:
         from enerf_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(int(np.prod(cfg.mesh_shape)))
 

@@ -144,3 +144,54 @@ def test_block_field_training_converges():
     p = psnr(np.asarray(out["image"]).reshape(H, W, 3), gtw)
     flat = psnr(np.full_like(gtw, gtw.mean()), gtw)
     assert p > flat + 2.0, f"blockgrid PSNR {p:.2f} vs flat {flat:.2f}"
+
+
+def test_block_encode_bf16_forward_and_f32_backward():
+    """block_encode_bf16: forward == block_encode on a bf16 table copy
+    (within bf16 tol), table gradient EXACTLY the f32 scatter of the plain
+    path, position grads zero by contract, chunked path consistent."""
+    from enerf_tpu.ops.blockgrid import block_encode_bf16
+
+    meta = small_meta()
+    key = jax.random.PRNGKey(0)
+    table = init_block_table(key, meta) * 1e4  # O(1) values so bf16 tol is visible
+    n = 257
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-0.1, maxval=1.1)
+
+    out = block_encode_bf16(x, table, meta)
+    ref = block_encode(x, table.astype(jnp.bfloat16), meta)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref, np.float32),
+                               rtol=1e-2, atol=1e-2)
+
+    def loss_bf16(t, xx):
+        return jnp.sum(jnp.sin(block_encode_bf16(xx, t, meta)))
+
+    def loss_f32(t, xx):
+        return jnp.sum(jnp.sin(block_encode(xx, t, meta)))
+
+    g_bf16 = jax.grad(loss_bf16, argnums=(0, 1))(table, x)
+    g_f32 = jax.grad(loss_f32, argnums=(0, 1))(table, x)
+    # cotangents differ slightly (cos of bf16 vs f32 forward), so compare
+    # loosely in value but exactly in sparsity structure
+    nz_b = np.asarray(g_bf16[0]) != 0
+    nz_f = np.asarray(g_f32[0]) != 0
+    assert (nz_b == nz_f).all(), "table-grad sparsity differs"
+    np.testing.assert_allclose(np.asarray(g_bf16[0]), np.asarray(g_f32[0]),
+                               rtol=5e-2, atol=5e-3)
+    assert np.asarray(g_bf16[0]).dtype == np.float32
+    assert not np.asarray(g_bf16[1]).any(), "position grads must be zero"
+
+    # identical cotangent -> gradient matches the hand scatter bit-for-bit
+    g_const = jax.grad(lambda t: jnp.sum(block_encode_bf16(x, t, meta)))(table)
+    g_ref = jax.grad(lambda t: jnp.sum(block_encode(x, t, meta)))(table)
+    np.testing.assert_allclose(np.asarray(g_const), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+    # chunked backward path (> point_chunk samples per chunk boundary)
+    xl = jax.random.uniform(jax.random.PRNGKey(2), (1100, 3))
+    from enerf_tpu.ops import blockgrid as bg
+    g_chunk = bg._beb_bwd(meta, xl, jnp.ones((1100, meta.output_dim)),
+                          point_chunk=256)[1]
+    g_full = bg._beb_bwd(meta, xl, jnp.ones((1100, meta.output_dim)))[1]
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_full),
+                               rtol=1e-5, atol=1e-7)

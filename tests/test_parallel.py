@@ -220,6 +220,29 @@ def test_sharded_train_chunk_frames_error_map():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multihost_utilities_single_process():
+    """Single-process behavior of the pod-slice glue (parallel/multihost.py):
+    global mesh over all devices, host-local batch assembly == shard_batch,
+    replication, barrier no-op."""
+    from enerf_tpu.parallel import multihost
+
+    multihost.initialize()
+    assert multihost.is_primary()
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+    batch = {"x": np.arange(32, dtype=np.float32).reshape(16, 2)}
+    g = multihost.host_local_batch_to_global(batch, mesh)
+    ref = shard_batch({"x": jnp.asarray(batch["x"])}, make_mesh(None))
+    assert g["x"].sharding.spec == ref["x"].sharding.spec
+    np.testing.assert_array_equal(np.asarray(g["x"]), batch["x"])
+
+    r = multihost.replicate_from_host({"y": np.ones((4,), np.float32)}, mesh)
+    assert r["y"].sharding.is_fully_replicated
+    multihost.all_processes_barrier("test")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_eval_render_matches_single_device():
     """Multi-chip eval tiling (SURVEY M5): rays sharded over the mesh,
     image gathered — must equal the single-device render."""
