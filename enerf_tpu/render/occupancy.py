@@ -128,7 +128,12 @@ def update_occupancy(params, static, occ, rng, density_scale=1.0,
         lambda: full_update(tmp, k),
         lambda: partial_update(tmp, k),
     )
+    return _finish_update(occ, tmp, density_thresh, decay)
 
+
+def _finish_update(occ, tmp, density_thresh, decay):
+    """EMA decay + threshold + bitfield from the fresh queries `tmp`
+    (reference renderer.py:528-563); cells with tmp < 0 are untouched."""
     valid = (occ.density_grid >= 0.0) & (tmp >= 0.0)
     new_grid = jnp.where(
         valid, jnp.maximum(occ.density_grid * decay, tmp), occ.density_grid
@@ -142,6 +147,101 @@ def update_occupancy(params, static, occ, rng, density_scale=1.0,
         mean_density=mean_density,
         iter_density=occ.iter_density + 1,
     )
+
+
+def update_occupancy_sharded(params, static, occ, rng, *, axis_name,
+                             n_lanes, density_scale=1.0, density_thresh=0.01,
+                             decay=0.95):
+    """Data-parallel occupancy maintenance for use INSIDE shard_map: each
+    lane queries 1/n_lanes of the cells, results merge with one psum.
+
+    The merge uses scatter-into-zeros + psum (value and count planes) so
+    the output is provably replicated under shard_map's varying-mode
+    checks (an all_gather would leave it lane-varying).
+
+    The FULL phase splits the serial update's 64 query chunks across lanes
+    with the serial per-chunk keys, so the sharded result is BITWISE equal
+    to update_occupancy (tested on the 8-device mesh).  The resampling
+    phase draws each lane's sample set from a lane-folded key; cells hit
+    by several lanes average their queries — same distribution as the
+    reference's sample-with-replacement resampling (renderer.py:524-526).
+    """
+    H = GRID_SIZE
+    cas = occ.density_grid.shape[0]
+    bound = static.bound
+    lane = jax.lax.axis_index(axis_name)
+
+    def query_sigma(coords, c, key):
+        xyz, half = _cell_centers(coords, c, bound)
+        noise = (jax.random.uniform(key, xyz.shape) * 2.0 - 1.0) * half
+        sigma, _ = field_density(params, static, xyz + noise)
+        return sigma * density_scale * DENSITY_SCALE_STEP
+
+    N_CHUNKS = 64  # must match update_occupancy's full-update chunking
+    assert N_CHUNKS % n_lanes == 0 and H ** 3 % (4 * n_lanes) == 0
+    per_lane = N_CHUNKS // n_lanes
+    chunk_cells = H ** 3 // N_CHUNKS
+
+    def full_queries(rng):
+        """This lane's slice of the serial full update, serial keys."""
+        idxs, sigs = [], []
+        cell0 = lane * per_lane * chunk_cells
+        idx = cell0 + jnp.arange(per_lane * chunk_cells, dtype=jnp.int32)
+        coords = _linear_coords(idx)
+        for c in range(cas):
+            rng, k = jax.random.split(rng)
+            keys = jax.lax.dynamic_slice_in_dim(
+                jax.random.split(k, N_CHUNKS), lane * per_lane, per_lane)
+            sig = jax.lax.map(
+                lambda args: query_sigma(args[0], c, args[1]),
+                (coords.reshape(per_lane, chunk_cells, 3), keys),
+            ).reshape(-1)
+            idxs.append(idx)
+            sigs.append(sig)
+        return jnp.stack(idxs), jnp.stack(sigs)
+
+    def partial_queries(rng):
+        rng = jax.random.fold_in(rng, lane)
+        Nr = H ** 3 // 4 // n_lanes
+        idxs, sigs = [], []
+        for c in range(cas):
+            rng, k1, k2, k3 = jax.random.split(rng, 4)
+            rand_idx = jax.random.randint(k1, (Nr,), 0, H ** 3)
+            mask = (occ.density_grid[c] > 0.0).astype(jnp.float32)
+            cdf = jnp.cumsum(mask)
+            total = jnp.maximum(cdf[-1], 1.0)
+            u = jax.random.uniform(k2, (Nr,)) * total
+            occ_idx = jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+            idx = jnp.concatenate(
+                [rand_idx, jnp.clip(occ_idx, 0, H ** 3 - 1)])
+            coords = _linear_coords(idx)
+            nch = max(16 // n_lanes, 1)
+            sig = jax.lax.map(
+                lambda args: query_sigma(args[0], c, args[1]),
+                (coords.reshape(nch, -1, 3), jax.random.split(k3, nch)),
+            ).reshape(-1)
+            idxs.append(idx)
+            sigs.append(sig)
+        return jnp.stack(idxs), jnp.stack(sigs)
+
+    def merged(rng, full):
+        idx, sig = full_queries(rng) if full else partial_queries(rng)
+        val = jnp.zeros((cas, H ** 3), jnp.float32)
+        cnt = jnp.zeros((cas, H ** 3), jnp.float32)
+        for c in range(cas):
+            val = val.at[c, idx[c]].add(sig[c])
+            cnt = cnt.at[c, idx[c]].add(1.0)
+        val = jax.lax.psum(val, axis_name)
+        cnt = jax.lax.psum(cnt, axis_name)
+        return jnp.where(cnt > 0.0, val / jnp.maximum(cnt, 1.0), -1.0)
+
+    rng, k = jax.random.split(rng)
+    tmp = jax.lax.cond(
+        occ.iter_density < 16,
+        lambda: merged(k, True),
+        lambda: merged(k, False),
+    )
+    return _finish_update(occ, tmp, density_thresh, decay)
 
 
 def mark_untrained_grid(occ, poses, intrinsics, bound):

@@ -71,15 +71,26 @@ def make_train_chunk(ss, opt, mode, sampler_statics, chunk_len=16,
     loss_fn = event_loss_fn if mode == "events" else frames_loss_fn
     dp = mesh is not None
 
+    n_lanes = mesh.devices.size if dp else 1
+
     def chunk_impl(state, occ, arrs, error_map, key):
         if use_occ:
             key, k = jax.random.split(key)
-            # identical (replicated) maintenance on every chip: same key ->
-            # same grid; off the hot path (once per window)
-            occ = update_occupancy(
-                state.params, ss.field_static, occ, k,
-                density_scale=density_scale, density_thresh=density_thresh,
-            )
+            if dp:
+                # each chip queries 1/n of the grid cells; one psum merges
+                from enerf_tpu.render.occupancy import update_occupancy_sharded
+                occ = update_occupancy_sharded(
+                    state.params, ss.field_static, occ, k,
+                    axis_name="data", n_lanes=n_lanes,
+                    density_scale=density_scale,
+                    density_thresh=density_thresh,
+                )
+            else:
+                occ = update_occupancy(
+                    state.params, ss.field_static, occ, k,
+                    density_scale=density_scale,
+                    density_thresh=density_thresh,
+                )
         occ_bf = occ.occ_bitfield if use_occ else None
         emap_in = error_map
 

@@ -1,5 +1,7 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -217,6 +219,53 @@ def test_sharded_train_chunk_frames_error_map():
     assert emap.sharding.is_fully_replicated
     assert (after != before).sum() > 0, "error map not updated"
     assert np.isfinite(after).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_occupancy_update_matches_serial():
+    """update_occupancy_sharded under shard_map: full phase covers every
+    cell exactly once across lanes; statistics match the serial update
+    (per-cell RNG noise differs, so compare coverage + summary stats)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from enerf_tpu.render.occupancy import (
+        init_occupancy, update_occupancy, update_occupancy_sharded,
+    )
+
+    static = FieldStatic(bound=1.0, out_dim_color=1, num_levels=4,
+                         log2_hashmap_size=10)
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    occ0 = init_occupancy(1.0)
+
+    mesh = make_mesh(8)
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, in_shardings=(repl, repl, repl),
+                       out_shardings=repl)
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P()), out_specs=P())
+    def sharded(params, occ, key):
+        return update_occupancy_sharded(
+            params, static, occ, key, axis_name="data", n_lanes=8)
+
+    o_sh = sharded(params, occ0, jax.random.PRNGKey(3))
+    o_se = update_occupancy(params, static, occ0, jax.random.PRNGKey(3))
+
+    # full phase: lanes split the serial update's 64 query chunks with the
+    # serial keys -> bitwise-equal result (up to the psum merge rounding)
+    assert bool((np.asarray(o_sh.density_grid) >= 0.0).all())
+    assert int(o_sh.iter_density) == 1
+    np.testing.assert_allclose(np.asarray(o_sh.density_grid),
+                               np.asarray(o_se.density_grid),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(o_sh.occ_bitfield),
+                                  np.asarray(o_se.occ_bitfield))
+
+    # partial (resampling) phase runs and keeps the grid sane
+    o_sh2 = sharded(params, o_sh._replace(iter_density=jnp.asarray(20)),
+                    jax.random.PRNGKey(4))
+    assert np.isfinite(np.asarray(o_sh2.density_grid)).all()
+    assert int(o_sh2.iter_density) == 21
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
