@@ -78,8 +78,9 @@ def make_sharded_train_step(ss, opt, mesh, mode="events"):
         )
         new_state = apply_updates(state, grads, opt)
         scalars = {"loss": loss}
-        for k in ("loss_evs", "loss_frames", "loss_no_evs"):
-            if k in aux:
+        for k in aux:
+            if k.startswith("implC_") or k in (
+                    "loss_evs", "loss_frames", "loss_no_evs"):
                 scalars[k] = aux[k]
         if mode == "frames":
             # error-map feedback (gathered to replicated on output)

@@ -141,6 +141,12 @@ def event_loss_fn(params, ss, batch, rng, occ=None):
     )
     loss = loss_evs
     aux = {"loss_evs": loss_evs, "delta_linlog": delta, "pols": pol}
+    # implicit-C telemetry (reference utils.py:514-516, 985-989): medians
+    # of delta/pol — a physics sanity check logged per train step
+    aux.update(
+        (f"implC_{k}", jax.lax.stop_gradient(v))
+        for k, v in losses.estimate_implicit_C(pol, delta).items()
+    )
 
     if not ss.event_only:
         lf, faux = frames_loss_fn(params, ss,
@@ -212,7 +218,7 @@ def train_step_events(state, batch, rng, ss, opt, occ=None):
     )
     new_state = apply_updates(state, grads, opt)
     out = {"loss": loss, "loss_evs": aux["loss_evs"]}
-    for k in ("loss_frames", "loss_no_evs"):
-        if k in aux:
+    for k in aux:
+        if k.startswith("implC_") or k in ("loss_frames", "loss_no_evs"):
             out[k] = aux[k]
     return new_state, out

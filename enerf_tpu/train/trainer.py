@@ -112,6 +112,26 @@ class Trainer:
         if self.primary:
             with open(os.path.join(self.workspace, "args.json"), "w") as f:
                 json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+            # code provenance (role of the reference's full source-tree
+            # copy into the workspace, utils.py:416-443): git rev + the
+            # uncommitted diff reproduce the exact code state
+            try:
+                import subprocess
+                root = os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))))
+                rev = subprocess.run(
+                    ["git", "-C", root, "rev-parse", "HEAD"],
+                    capture_output=True, text=True, timeout=10).stdout.strip()
+                diff = subprocess.run(
+                    ["git", "-C", root, "diff", "HEAD"],
+                    capture_output=True, text=True, timeout=10).stdout
+                with open(os.path.join(self.workspace,
+                                       "code_version.txt"), "w") as f:
+                    f.write(f"git {rev}\n")
+                    if diff:
+                        f.write("\n# uncommitted diff:\n" + diff)
+            except Exception:
+                pass
 
         self.ckpt = CheckpointManager(
             os.path.join(self.workspace, "checkpoints"),
@@ -225,9 +245,12 @@ class Trainer:
 
         def log_aux(aux, step):
             loss = float(aux["loss"])
+            # implC_* telemetry goes to tensorboard only (reference
+            # utils.py:985-989), not the console line
             extras = " ".join(
                 f"{k}={float(v):.5f}" for k, v in aux.items()
                 if k != "loss" and np.ndim(v) == 0
+                and not k.startswith("implC_")
             )
             self.log(
                 f"[train] epoch {self.epoch} step {step} "
