@@ -121,6 +121,9 @@ class Config:
                                 # the TPU-first gather-count ablation:
                                 # 8 levels x 4 feats halves the per-sample
                                 # address-bound gathers at equal output dim)
+    bf16_gather: int = -1       # blockgrid row gathers in bf16 (-1: follow
+                                # compute dtype; 0/1 force — ablation
+                                # control, ops/blockgrid.block_encode_bf16)
     ckpt_interval: int = 1      # epochs between rotating checkpoint saves
                                 # (each save pulls the full train state to
                                 # host — costly over a remote-TPU link)

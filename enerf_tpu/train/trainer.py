@@ -68,6 +68,8 @@ class Trainer:
             grid_block=cfg.grid_block,
             num_levels=cfg.num_levels,
             level_dim=cfg.level_dim,
+            bf16_gather=(None if cfg.bf16_gather < 0
+                         else bool(cfg.bf16_gather)),
         )
         self.ss = StepStatics(
             field_static=self.static,
