@@ -81,6 +81,68 @@ def plot_trajectory_timeline(path, ts, poses, title="trajectory"):
     return path
 
 
+def plot_rays_in_box(path, poses, intrinsics, H, W, bound=1.0, n_side=3,
+                     length=3.0, title="rays vs scene box"):
+    """Central pixel rays from each pose drawn into the scene AABB (role of
+    the reference's commented pointcloud/ray visualizers, renderer.py:186,
+    provider.py:583-587 — here wired for real)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fx, fy, cx, cy = intrinsics
+    poses = np.asarray(poses)
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    # AABB wireframe
+    b = float(bound)
+    for s in (-b, b):
+        for t in (-b, b):
+            ax.plot([-b, b], [s, s], [t, t], "k-", lw=0.4)
+            ax.plot([s, s], [-b, b], [t, t], "k-", lw=0.4)
+            ax.plot([s, s], [t, t], [-b, b], "k-", lw=0.4)
+    us = np.linspace(0.15, 0.85, n_side)
+    for p in poses:
+        o = p[:3, 3]
+        for u in us:
+            for v in us:
+                d = np.array([(u * W - cx) / fx, (v * H - cy) / fy, 1.0])
+                d = p[:3, :3] @ (d / np.linalg.norm(d))
+                e = o + d * length
+                ax.plot([o[0], e[0]], [o[1], e[1]], [o[2], e[2]],
+                        "b-", lw=0.3, alpha=0.5)
+        ax.scatter(*o, s=4, c="r")
+    ax.set_title(title)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return path
+
+
+def plot_event_rate(path, ts, bins=200, title="event rate"):
+    """Events/s over the stream duration (dataset sanity, reference
+    plot_h5.py role)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ts = np.asarray(ts, np.float64)
+    if ts.size < 2:
+        return None
+    counts, edges = np.histogram(ts, bins=bins)
+    widths = np.diff(edges)
+    fig, ax = plt.subplots(figsize=(10, 4))
+    ax.bar(edges[:-1], counts / np.maximum(widths, 1e-12), width=widths,
+           align="edge")
+    ax.set_xlabel("t [s]")
+    ax.set_ylabel("events/s")
+    ax.set_title(title)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return path
+
+
 def dump_run_diagnostics(workspace, provider):
     """Per-run dataset diagnostics into workspace/diagnostics (the role of
     the reference's automatic plot dumps: plotting_poses_bounds/hf/evs from
@@ -112,10 +174,37 @@ def dump_run_diagnostics(workspace, provider):
                 os.path.join(ddir, "hf_trajectory.png"),
                 np.asarray(provider.key_ts), np.asarray(provider.key_trans),
                 title="pose keyframes (hf)"))
+            p = plot_event_rate(os.path.join(ddir, "ev_rate.png"),
+                                np.asarray(ch.ts))
+            if p:
+                written.append(p)
+            # negative-sampling coverage: which pixels ever enter a
+            # no-event chunk (provider.py noev machinery)
+            if getattr(provider, "noev_coords", None) is not None:
+                cov = np.zeros((provider.H, provider.W), np.float32)
+                cnts = np.asarray(provider.noev_count)
+                valid = []
+                for j, nc in enumerate(cnts):
+                    valid.append(np.asarray(
+                        provider.noev_coords[j][: int(nc)]))
+                if valid:
+                    v = np.concatenate(valid).astype(np.int64)
+                    np.add.at(cov, (np.clip(v[:, 1], 0, provider.H - 1),
+                                    np.clip(v[:, 0], 0, provider.W - 1)), 1)
+                import cv2 as _cv2
+                mx = max(cov.max(), 1.0)
+                p = os.path.join(ddir, "noev_coverage.png")
+                _cv2.imwrite(p, (cov / mx * 255).astype(np.uint8))
+                written.append(p)
         if getattr(provider, "train_poses", None) is not None:
             written.append(plot_poses(
                 os.path.join(ddir, "train_poses.png"),
                 np.asarray(provider.train_poses), title="train poses"))
+            if getattr(provider, "intrinsics", None) is not None:
+                written.append(plot_rays_in_box(
+                    os.path.join(ddir, "train_rays.png"),
+                    np.asarray(provider.train_poses)[:8],
+                    provider.intrinsics, provider.H, provider.W))
     except Exception as e:  # diagnostics must never kill training
         written.append(f"(skipped: {e})")
     return written

@@ -140,3 +140,23 @@ def test_lpips_jax_metric_properties():
     a, v = M.compute_lpips(g + 0.1, g, rgb_channels=1)
     assert a is not None and v is not None and np.isfinite([a, v]).all()
     assert M.lpips_label() == "_rand"
+
+
+def test_run_diagnostics_full_breadth(tmp_path):
+    """dump_run_diagnostics writes the full artifact set for an event
+    provider with negative sampling (reference plot_utils auto-dump role)."""
+    from enerf_tpu.utils.plotting import dump_run_diagnostics
+
+    d = synthetic.simulate_events(H=32, W=32, n_frames=20, C=0.12, turns=0.4)
+    prov = EventProvider(
+        d["events"], d["frame_ts"], d["poses"], d["intrinsics"],
+        32, 32, batch_size_evs=64, negative_event_sampling=True,
+    )
+    prov.train_poses = d["poses"]
+    prov.intrinsics = d["intrinsics"]
+    out = dump_run_diagnostics(str(tmp_path), prov)
+    assert not any(str(p).startswith("(skipped") for p in out), out
+    names = {os.path.basename(str(p)) for p in out}
+    assert {"ev_accumulation.png", "ev_histogram.png", "hf_trajectory.png",
+            "ev_rate.png", "noev_coverage.png", "train_poses.png",
+            "train_rays.png"} <= names
