@@ -124,6 +124,11 @@ class Config:
     bf16_gather: int = -1       # blockgrid row gathers in bf16 (-1: follow
                                 # compute dtype; 0/1 force — ablation
                                 # control, ops/blockgrid.block_encode_bf16)
+    w_opacity: float = 0.0      # opacity binary-entropy regularizer on
+                                # event rays (BEYOND reference — breaks the
+                                # transparent-mist gauge mode of
+                                # consecutive-pair supervision; see
+                                # ROUND2_STATUS.md).  0 = off.
     ckpt_interval: int = 1      # epochs between rotating checkpoint saves
                                 # (each save pulls the full train state to
                                 # host — costly over a remote-TPU link)

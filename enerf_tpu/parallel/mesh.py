@@ -80,7 +80,7 @@ def make_sharded_train_step(ss, opt, mesh, mode="events"):
         scalars = {"loss": loss}
         for k in aux:
             if k.startswith("implC_") or k in (
-                    "loss_evs", "loss_frames", "loss_no_evs"):
+                    "loss_evs", "loss_frames", "loss_no_evs", "loss_opacity"):
                 scalars[k] = aux[k]
         if mode == "frames":
             # error-map feedback (gathered to replicated on output)

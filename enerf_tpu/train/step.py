@@ -52,6 +52,11 @@ class StepStatics(NamedTuple):
     # a hashable JAX embedder (train/clip_guidance.StubEmbedder or a real
     # JAX CLIP) — None disables the clip step
     clip_embedder: Any = None
+    # opacity binary-entropy regularizer on event-ray weight sums (BEYOND
+    # the reference): -log(ws^2 + (1-ws)^2) pushes rays to transparent-or-
+    # opaque, breaking the transparent-mist gauge mode of consecutive-pair
+    # event supervision (ROUND2_STATUS.md).  0 disables.
+    w_opacity: float = 0.0
 
 
 def _render_pair_shared(params, ss, o1, d1, o2, d2, bg, rng, occ):
@@ -148,6 +153,16 @@ def event_loss_fn(params, ss, batch, rng, occ=None):
         for k, v in losses.estimate_implicit_C(pol, delta).items()
     )
 
+    if ss.w_opacity > 0.0 and "weights_sum" in out1:
+        ws = jnp.concatenate([out1["weights_sum"], out2["weights_sum"]])
+        ws = jnp.clip(ws, 0.0, 1.0)
+        # ws^2 + (1-ws)^2 is in [0.5, 1] on [0, 1] — no epsilon needed;
+        # the term is exactly 0 at ws in {0, 1} and log(2) at ws = 0.5
+        l_op = ss.w_opacity * jnp.mean(
+            -jnp.log(ws * ws + (1.0 - ws) * (1.0 - ws)))
+        loss = loss + l_op
+        aux["loss_opacity"] = l_op
+
     if not ss.event_only:
         lf, faux = frames_loss_fn(params, ss,
                                   {"rays_o": batch["rays_o"],
@@ -219,6 +234,6 @@ def train_step_events(state, batch, rng, ss, opt, occ=None):
     new_state = apply_updates(state, grads, opt)
     out = {"loss": loss, "loss_evs": aux["loss_evs"]}
     for k in aux:
-        if k.startswith("implC_") or k in ("loss_frames", "loss_no_evs"):
+        if k.startswith("implC_") or k in ("loss_frames", "loss_no_evs", "loss_opacity"):
             out[k] = aux[k]
     return new_state, out

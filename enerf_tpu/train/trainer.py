@@ -91,6 +91,7 @@ class Trainer:
             max_steps=cfg.max_steps,
             compact_frac=cfg.compact_frac,
             share_march=bool(cfg.share_march),
+            w_opacity=cfg.w_opacity,
         )
         # rand-pose CLIP guidance (reference main_nerf.py:183 + clip_utils,
         # wired for real here — see train/clip_guidance.py)

@@ -79,3 +79,50 @@ def test_log_intensity_paths():
     v0 = float(losses.log_intensity(jnp.asarray([[0.0]]), use_luma=False,
                                     linlog=False, log_thres=1e-5)[0, 0])
     np.testing.assert_allclose(v0, np.log(1e-5), rtol=1e-5)
+
+
+def test_opacity_regularizer_pushes_extremes():
+    """w_opacity adds a binary-entropy term on event-ray weight sums that
+    is maximal at ws=0.5 and ~zero at 0/1 (mist-gauge countermeasure)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from enerf_tpu.models.field import FieldStatic, init_field_params
+    from enerf_tpu.train.step import StepStatics, event_loss_fn
+    from enerf_tpu.render.occupancy import GRID_SIZE
+
+    static = FieldStatic(bound=1.0, out_dim_color=1, num_levels=4,
+                         log2_hashmap_size=10, encoding="blockgrid")
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    g = np.arange(GRID_SIZE)
+    xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
+    c = 2.0 * np.stack([xs, ys, zs], -1) / (GRID_SIZE - 1) - 1.0
+    occ = jnp.asarray((np.linalg.norm(c, axis=-1) < 0.5).reshape(1, -1))
+
+    n = 32
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (n, 1))
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (n, 3),
+                             minval=-0.3, maxval=0.3)
+    d = tgt - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {"rays_evs_o1": o, "rays_evs_d1": d,
+             "rays_evs_o2": o + 0.01, "rays_evs_d2": d,
+             "pols": jnp.ones((n,), jnp.float32)}
+    kw = dict(field_static=static, num_steps=16, upsample_steps=0,
+              min_near=0.2, density_scale=1.0, C_thres=0.2, event_only=True,
+              use_luma=False, linlog=True, weight_loss_rgb=1.0,
+              negative_event_sampling=False, w_no_ev=1.0, out_dim_color=1,
+              use_march=True, march_samples=8, max_steps=128,
+              compact_frac=0.5)
+    l0, a0 = event_loss_fn(params, StepStatics(**kw), batch,
+                           jax.random.PRNGKey(2), occ)
+    l1, a1 = event_loss_fn(params, StepStatics(**kw, w_opacity=0.1), batch,
+                           jax.random.PRNGKey(2), occ)
+    assert "loss_opacity" not in a0
+    assert "loss_opacity" in a1 and float(a1["loss_opacity"]) >= 0.0
+    assert float(l1) >= float(l0)
+    # gradient flows through the regularizer into the table
+    gr = jax.grad(lambda p: event_loss_fn(
+        p, StepStatics(**kw, w_opacity=0.1), batch,
+        jax.random.PRNGKey(2), occ)[0])(params)
+    assert float(jnp.abs(gr["hash_table"]).max()) > 0.0
