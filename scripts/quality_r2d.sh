@@ -59,6 +59,11 @@ run I_norm 5400 --ff --share_march 1 --negative_event_sampling 1 \
 run G_l8c4 5400 --ff --share_march 1 --negative_event_sampling 1 \
   --num_levels 8 --level_dim 4 --grid_block 3 \
   --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
+# K_opac: beyond-reference opacity binary-entropy regularizer (config
+# w_opacity) — the direct counter to the mist mode
+run K_opac 5400 --ff --share_march 1 --negative_event_sampling 1 \
+  --w_opacity 0.01 \
+  --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
 # J_fixed: the reference's ACTUAL enerf-config path — cuda_ray OFF, uniform
 # fixed-step sampling (num_steps, renderer.py run()) — no occupancy
 # reinforcement of the mist.  --cuda_ray is absent from COMMON here only
