@@ -129,6 +129,10 @@ class Config:
                                 # transparent-mist gauge mode of
                                 # consecutive-pair supervision; see
                                 # ROUND2_STATUS.md).  0 = off.
+    density_bias: float = 0.0   # density-logit bias: sigma0 ~ e^bias at
+                                # init, making the march start opaque and
+                                # CARVE like the reference's 512-uniform-
+                                # sample path (models/field.py)
     ckpt_interval: int = 1      # epochs between rotating checkpoint saves
                                 # (each save pulls the full train state to
                                 # host — costly over a remote-TPU link)

@@ -44,6 +44,7 @@ class FieldStatic:
             self.num_layers_bg, self.hidden_dim_bg, str(self.compute_dtype),
             self.encoding, self.grid_meta, self.use_fused_head,
             self.fast_table_grad, self.grid_block, self.bf16_gather,
+            self.density_bias,
         )
 
     def __hash__(self):
@@ -84,12 +85,15 @@ class FieldStatic:
                                # = address-rate bound; backward scatter
                                # stays f32 — ops/blockgrid.block_encode_bf16).
                                # None: follow compute_dtype.
+        density_bias=0.0,      # added to the density logit before trunc_exp
+                               # (opaque-at-init option; see field_density)
         compute_dtype=jnp.float32,
     ):
         self.use_fused_head = use_fused_head
         self.fast_table_grad = fast_table_grad
         self.bf16_gather = (compute_dtype == jnp.bfloat16
                             if bf16_gather is None else bool(bf16_gather))
+        self.density_bias = float(density_bias)
         self.bound = float(bound)
         self.num_layers = num_layers
         self.hidden_dim = hidden_dim
@@ -253,7 +257,15 @@ def field_density(params, static, x):
     # ops/blockgrid.block_encode_bf16)
     enc = _encode(params, static, x01)
     h = _mlp(params, "sigma", static.num_layers, enc, static.compute_dtype)
-    sigma = trunc_exp(h[..., 0].astype(jnp.float32))
+    # density_bias shifts the logit so the INITIAL field can be opaque
+    # (sigma0 ~ e^bias).  The reference's enerf configs get an opaque start
+    # for free from 512 uniform samples over a bound-3 box (tau ~ 5 at
+    # sigma ~ 1, renderer.py run()); the sparse march (~32 samples, dt
+    # 2sqrt(3)/1024, tau ~ 0.1*sigma) starts transparent instead, which
+    # enables the mist gauge mode (ROUND2_STATUS.md).  Pure
+    # reparametrization: the MLP can cancel it, so expressivity is
+    # unchanged — only the optimization trajectory shifts to carving.
+    sigma = trunc_exp(h[..., 0].astype(jnp.float32) + static.density_bias)
     geo_feat = h[..., 1:]
     return sigma, geo_feat
 
@@ -294,6 +306,9 @@ def field_forward_fused(params, static, x, d):
         params["color_w0"].astype(cd), params["color_w1"].astype(cd),
         params["color_w2"].astype(cd),
     )
+    if static.density_bias:
+        # exp(raw + b) == exp(raw) * e^b — bias applied outside the kernel
+        sigma = sigma * math.exp(static.density_bias)
     return sigma, rgb
 
 

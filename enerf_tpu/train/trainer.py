@@ -70,6 +70,7 @@ class Trainer:
             level_dim=cfg.level_dim,
             bf16_gather=(None if cfg.bf16_gather < 0
                          else bool(cfg.bf16_gather)),
+            density_bias=cfg.density_bias,
         )
         self.ss = StepStatics(
             field_static=self.static,

@@ -64,6 +64,11 @@ run G_l8c4 5400 --ff --share_march 1 --negative_event_sampling 1 \
 run K_opac 5400 --ff --share_march 1 --negative_event_sampling 1 \
   --w_opacity 0.01 \
   --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
+# L_bias: opaque-at-init density-logit bias (sigma0 ~ e^3) — the march
+# starts opaque and CARVES, matching the reference run()'s effective init
+run L_bias 5400 --ff --share_march 1 --negative_event_sampling 1 \
+  --density_bias 3.0 \
+  --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
 # J_fixed: the reference's ACTUAL enerf-config path — cuda_ray OFF, uniform
 # fixed-step sampling (num_steps, renderer.py run()) — no occupancy
 # reinforcement of the mist.  --cuda_ray is absent from COMMON here only

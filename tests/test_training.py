@@ -192,3 +192,35 @@ def test_gridfree_encodings_train(encoding):
     for _ in range(60):
         params, ost, loss = step(params, ost)
     assert float(loss) < 0.5 * float(l0)
+
+
+def test_density_bias_opaque_init():
+    """density_bias=3 makes the INITIAL field opaque (sigma0 ~ e^3) on both
+    the unfused and fused heads — the carve-not-condense init option
+    (ROUND2_STATUS.md mist analysis)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from enerf_tpu.models.field import (
+        FieldStatic, init_field_params, field_density, field_forward_fused,
+    )
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3), minval=-0.9,
+                           maxval=0.9)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (128, 1))
+    for fused in (False, True):
+        st0 = FieldStatic(bound=1.0, out_dim_color=1, num_levels=4,
+                          log2_hashmap_size=10, encoding="blockgrid",
+                          use_fused_head=fused)
+        stb = FieldStatic(bound=1.0, out_dim_color=1, num_levels=4,
+                          log2_hashmap_size=10, encoding="blockgrid",
+                          use_fused_head=fused, density_bias=3.0)
+        params = init_field_params(jax.random.PRNGKey(0), st0)
+        if fused:
+            s0 = np.asarray(field_forward_fused(params, st0, x, d)[0])
+            sb = np.asarray(field_forward_fused(params, stb, x, d)[0])
+        else:
+            s0 = np.asarray(field_density(params, st0, x)[0])
+            sb = np.asarray(field_density(params, stb, x)[0])
+        ratio = np.median(sb / np.maximum(s0, 1e-12))
+        np.testing.assert_allclose(ratio, np.exp(3.0), rtol=0.05)
