@@ -8,9 +8,13 @@ root, y-up polar coords normalized to [-1, 1]).
 TPU design: pure vectorized jnp; branchless min/max slab test.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
-_MISS = jnp.float32(3.4028234663852886e38)  # FLT_MAX, matches the CUDA kernel
+# FLT_MAX, matches the CUDA kernel.  A plain numpy scalar: a jnp scalar
+# here would initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize on pod slices (parallel/multihost.py).
+_MISS = np.float32(3.4028234663852886e38)
 
 
 def near_far_from_aabb(rays_o, rays_d, aabb, min_near=0.2):

@@ -77,10 +77,14 @@ def make_sharded_train_step(ss, opt, mesh, mode="events"):
             state.params, ss, batch, rng, occ
         )
         new_state = apply_updates(state, grads, opt)
+        # implC_* medians are deliberately NOT forwarded here: under the
+        # sharded step a median over the global batch would make XLA emit
+        # an all-gather + global sort per step, breaking this module's
+        # only-collective-is-the-grad-psum contract.  The telemetry stays
+        # on the single-chip paths (train_step_events, non-dp chunk).
         scalars = {"loss": loss}
-        for k in aux:
-            if k.startswith("implC_") or k in (
-                    "loss_evs", "loss_frames", "loss_no_evs", "loss_opacity"):
+        for k in ("loss_evs", "loss_frames", "loss_no_evs", "loss_opacity"):
+            if k in aux:
                 scalars[k] = aux[k]
         if mode == "frames":
             # error-map feedback (gathered to replicated on output)

@@ -38,8 +38,14 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
 
     On Cloud TPU pod slices all three arguments are inferred from the TPU
     environment; pass them explicitly only for CPU/GPU multi-process runs.
+
+    MUST run before any JAX call that initializes the XLA backend (even
+    jax.devices()/jax.process_count() count) — main.py calls it before the
+    Trainer is built.  If the backend is already up (tests, notebooks), the
+    attempt raises; that case is reported loudly and the run proceeds
+    single-process rather than silently misconfigured.
     """
-    if jax.process_count() > 1 or getattr(initialize, "_done", False):
+    if getattr(initialize, "_done", False):
         return
     kwargs = {}
     if coordinator_address is not None:
@@ -50,9 +56,19 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
         )
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # single-process run (no coordinator configured): proceed local
+    except ValueError:
+        # no coordinator configuration in the environment: a genuine
+        # single-process run
         pass
+    except RuntimeError as e:
+        import sys
+        print(
+            "[multihost] jax.distributed.initialize failed "
+            f"({e}); continuing as a single process. On a pod slice this "
+            "means initialize() ran after the XLA backend came up — call "
+            "it before any JAX computation.",
+            file=sys.stderr, flush=True,
+        )
     initialize._done = True
 
 

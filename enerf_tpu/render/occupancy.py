@@ -177,8 +177,14 @@ def update_occupancy_sharded(params, static, occ, rng, *, axis_name,
         sigma, _ = field_density(params, static, xyz + noise)
         return sigma * density_scale * DENSITY_SCALE_STEP
 
-    N_CHUNKS = 64  # must match update_occupancy's full-update chunking
-    assert N_CHUNKS % n_lanes == 0 and H ** 3 % (4 * n_lanes) == 0
+    # 64 chunks matches update_occupancy's full-update chunking, giving
+    # BITWISE serial parity whenever n_lanes divides 64.  Larger meshes
+    # (v5e-128+) use one chunk per lane instead — still a correct full
+    # update, just a different (per-lane) noise stream than the serial one.
+    N_CHUNKS = 64 if 64 % n_lanes == 0 else n_lanes
+    assert H ** 3 % (4 * n_lanes) == 0 and H ** 3 % N_CHUNKS == 0, (
+        f"mesh size {n_lanes} must divide {H}^3/4 cells"
+    )
     per_lane = N_CHUNKS // n_lanes
     chunk_cells = H ** 3 // N_CHUNKS
 

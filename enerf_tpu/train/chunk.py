@@ -120,6 +120,10 @@ def make_train_chunk(ss, opt, mode, sampler_statics, chunk_len=16,
             scalars.update(
                 (n, v) for n, v in aux.items()
                 if isinstance(v, jnp.ndarray) and v.ndim == 0
+                # implC medians sort the whole batch — fine on one chip,
+                # but under dp they would be computed per chip anyway;
+                # keep the dp program free of non-essential reductions
+                and not (dp and n.startswith("implC_"))
             )
             if dp:
                 scalars = jax.lax.pmean(scalars, "data")
@@ -129,9 +133,13 @@ def make_train_chunk(ss, opt, mode, sampler_statics, chunk_len=16,
             body, (state, error_map), jax.random.split(key, chunk_len))
         if dp and error_map is not None:
             # merge the chips' scatter updates back to one replicated map:
-            # base + sum of per-chip deltas (cross-chip collisions on the
-            # same pixel add — acceptable for an error-sampling prior)
-            error_map = emap_in + jax.lax.psum(error_map - emap_in, "data")
+            # base + sum of per-chip deltas.  Cross-chip collisions on the
+            # same slot add their (usually negative) deltas, which can
+            # overshoot below zero — floor at a small positive weight so the
+            # next window's log-categorical sampling (data/rays.py) stays
+            # finite; it is a sampling prior, not a metric
+            error_map = jnp.maximum(
+                emap_in + jax.lax.psum(error_map - emap_in, "data"), 1e-4)
         return state, occ, error_map, jax.tree.map(jnp.mean, auxs)
 
     if not dp:

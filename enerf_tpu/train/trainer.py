@@ -166,12 +166,24 @@ class Trainer:
 
         self._sharded_step = None
         self._sharded_render = None
+        # pod-slice runs: host-local values must become global jax.Arrays
+        # before they reach a program jitted over a multi-process mesh
+        # (parallel/multihost.py); single-process meshes take the plain
+        # device_put path
+        self._mh = mesh is not None and jax.process_count() > 1
         if mesh is not None:
             from enerf_tpu.parallel.mesh import make_sharded_train_step
             mode = "events" if cfg.events else "frames"
             self._sharded_step = make_sharded_train_step(
                 self.ss, self.opt, mesh, mode=mode
             )
+            if self._mh:
+                from enerf_tpu.parallel import multihost as MH
+                self.state = MH.replicate_from_host(
+                    jax.tree.map(np.asarray, self.state), mesh)
+                if self.occupancy is not None:
+                    self.occupancy = MH.replicate_from_host(
+                        jax.tree.map(np.asarray, self.occupancy), mesh)
 
     # ------------------------------------------------------------------ util
 
@@ -197,8 +209,15 @@ class Trainer:
             )
             return aux
         if self._sharded_step is not None:
-            from enerf_tpu.parallel.mesh import shard_batch
-            batch = shard_batch(batch, self.mesh)
+            if self._mh:
+                # each host contributes its own slice of the global batch
+                # (the sampling key was process-folded in train())
+                from enerf_tpu.parallel import multihost as MH
+                batch = MH.host_local_batch_to_global(
+                    jax.tree.map(np.asarray, batch), self.mesh)
+            else:
+                from enerf_tpu.parallel.mesh import shard_batch
+                batch = shard_batch(batch, self.mesh)
             self.state, aux = self._sharded_step(self.state, batch, rng, occ)
             return aux
         if self.cfg.events:
@@ -277,6 +296,14 @@ class Trainer:
             if use_chunk:
                 from enerf_tpu.train.chunk import make_train_chunk
                 arrs, statics = provider.sampler_bundle()
+                if self._mh:
+                    # dataset arrays replicate across hosts (identical on
+                    # every process — same seed/dataset); the chunk's
+                    # in-program sampling folds the GLOBAL lane index, so
+                    # chips across hosts draw distinct batches
+                    from enerf_tpu.parallel import multihost as MH
+                    arrs = MH.replicate_from_host(
+                        jax.tree.map(np.asarray, arrs), self.mesh)
                 mode = "events" if cfg.events else "frames"
                 ck = (mode, tuple(sorted(statics.items())), chunk_len,
                       self.mesh is not None)
@@ -291,6 +318,11 @@ class Trainer:
                     )
                 chunk_fn = self._chunk_cache[ck]
                 emap = getattr(provider, "error_map", None)
+                if self._mh and emap is not None and not (
+                        hasattr(emap, "sharding")
+                        and not emap.sharding.is_fully_addressable):
+                    from enerf_tpu.parallel import multihost as MH
+                    emap = MH.replicate_from_host(np.asarray(emap), self.mesh)
                 while it + chunk_len <= steps_per_epoch:
                     key, k = jax.random.split(key)
                     self.state, self.occupancy, emap, aux = chunk_fn(
@@ -302,6 +334,18 @@ class Trainer:
                         epoch_losses.append(log_aux(aux, global_step))
                 if emap is not None:
                     provider.error_map = emap
+                if self.mesh is not None and it < steps_per_epoch:
+                    # the dp chunk's global batch is mesh_size x the
+                    # per-step path's — don't mix regimes within an epoch;
+                    # round the epoch down to whole windows instead
+                    if epoch == self.epoch and not getattr(
+                            self, "_chunk_round_logged", False):
+                        self._chunk_round_logged = True
+                        self.log(
+                            f"[train] mesh chunking: {steps_per_epoch} "
+                            f"steps/epoch rounded down to {it} "
+                            f"(whole {chunk_len}-step windows)")
+                    it = steps_per_epoch
             for it in range(it, steps_per_epoch):
                 if self.occupancy is not None and global_step % 16 == 0:
                     key, k = jax.random.split(key)
@@ -311,6 +355,10 @@ class Trainer:
                         density_thresh=cfg.density_thresh,
                     )
                 key, k1, k2 = jax.random.split(key, 3)
+                if self._mh:
+                    # distinct per-host batches; they concatenate into the
+                    # global batch in _step_fn
+                    k1 = jax.random.fold_in(k1, jax.process_index())
                 batch = provider.train_step_batch(k1)
                 aux = self._step_fn(batch, k2)
                 if cfg.error_map and hasattr(provider, "update_error_map") and \
@@ -327,6 +375,10 @@ class Trainer:
                     epoch % max(int(getattr(cfg, "ckpt_interval", 1)), 1) == 0
                     or epoch == max_epoch):
                 self.ckpt.save(self.state, self.occupancy, epoch, self.stats)
+            if self._mh:
+                # don't let non-primary hosts race ahead of the checkpoint
+                from enerf_tpu.parallel import multihost as MH
+                MH.all_processes_barrier(f"ckpt_ep{epoch}")
 
             if valid_provider is not None and epoch % cfg.eval_interval == 0:
                 results = self.evaluate(valid_provider)
