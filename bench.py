@@ -58,7 +58,7 @@ def main(argv=None):
     ap.add_argument("--fast_table_grad", type=int, default=0)
     ap.add_argument("--num_levels", type=int, default=16)
     ap.add_argument("--level_dim", type=int, default=2)
-    ap.add_argument("--bf16_gather", type=int, default=1)
+    ap.add_argument("--bf16_gather", type=int, default=0)
     args = ap.parse_args(argv)
 
     n_rays = args.n_rays   # per-render ray batch (x2 renders per step)

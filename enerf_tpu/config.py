@@ -121,9 +121,10 @@ class Config:
                                 # the TPU-first gather-count ablation:
                                 # 8 levels x 4 feats halves the per-sample
                                 # address-bound gathers at equal output dim)
-    bf16_gather: int = -1       # blockgrid row gathers in bf16 (-1: follow
-                                # compute dtype; 0/1 force — ablation
-                                # control, ops/blockgrid.block_encode_bf16)
+    bf16_gather: int = -1       # blockgrid row gathers in bf16 (-1/0:
+                                # off — measured slower on v5e, the gather
+                                # is address-rate bound; 1: opt in.
+                                # ops/blockgrid.block_encode_bf16)
     w_opacity: float = 0.0      # opacity binary-entropy regularizer on
                                 # event rays (BEYOND reference — breaks the
                                 # transparent-mist gauge mode of

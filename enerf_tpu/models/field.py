@@ -81,18 +81,20 @@ class FieldStatic:
                                # ops/scatter_accum.block_encode_fast).
                                # Default off until TPU-validated; bench.py
                                # enables it explicitly.
-        bf16_gather=None,      # gather table rows in bf16 (500 B blk4 rows
-                               # = address-rate bound; backward scatter
-                               # stays f32 — ops/blockgrid.block_encode_bf16).
-                               # None: follow compute_dtype.
+        bf16_gather=None,      # gather table rows in bf16
+                               # (ops/blockgrid.block_encode_bf16).
+                               # MEASURED SLOWER on v5e (148.9k vs 158.9k
+                               # rays/s, r2d sweep): the gather is address-
+                               # rate bound even at 1 KB rows, so the bf16
+                               # copy's materialization is pure overhead.
+                               # None/False: off (default); True: opt in.
         density_bias=0.0,      # added to the density logit before trunc_exp
                                # (opaque-at-init option; see field_density)
         compute_dtype=jnp.float32,
     ):
         self.use_fused_head = use_fused_head
         self.fast_table_grad = fast_table_grad
-        self.bf16_gather = (compute_dtype == jnp.bfloat16
-                            if bf16_gather is None else bool(bf16_gather))
+        self.bf16_gather = bool(bf16_gather)
         self.density_bias = float(density_bias)
         self.bound = float(bound)
         self.num_layers = num_layers
@@ -251,10 +253,9 @@ def _encode(params, static, x01):
 def field_density(params, static, x):
     """x: [N, 3] in [-bound, bound] -> (sigma [N], geo_feat [N, G])."""
     x01 = (x + static.bound) / (2.0 * static.bound)
-    # table PARAMS stay f32 (backward scatter + Adam accumulate in f32);
-    # under bf16 compute the forward gather reads a bf16 copy so blk4 rows
-    # are 500 B — back under the ~512 B free-gather width (BENCH_NOTES.md,
-    # ops/blockgrid.block_encode_bf16)
+    # table stays f32 end to end by default: the gather is address-rate
+    # bound (bf16 rows measured SLOWER once the cast overhead is counted,
+    # BENCH_NOTES.md r2d) and the backward scatter-add accumulates in f32
     enc = _encode(params, static, x01)
     h = _mlp(params, "sigma", static.num_layers, enc, static.compute_dtype)
     # density_bias shifts the logit so the INITIAL field can be opaque
