@@ -109,7 +109,10 @@ class Config:
     max_steps: int = 1024       # march step budget (reference renderer.py:281)
     share_march: int = 0        # event pairs share one march (variance cut)
     syn_frames: int = 40        # synthetic-mode simulator frames
-    syn_rich: int = 0           # synthetic-mode rich (high-contrast) scene
+    syn_rich: int = 0           # synthetic scene richness: 1 = ring of
+                                # high-contrast blobs, 2 = + textured
+                                # albedo/floor (events then constrain most
+                                # pixels, like the reference's real scenes)
     fuse_steps: int = 16        # train steps fused into one XLA program
                                 # (matches the 16-step occupancy cadence;
                                 # 1 = dispatch per step)

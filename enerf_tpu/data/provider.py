@@ -720,7 +720,7 @@ def make_providers(cfg, select_frames=None):
     if cfg.mode == "synthetic":
         data = synthetic.simulate_events(
             H=cfg.H, W=cfg.W, C=abs(cfg.C_thres) if cfg.C_thres > 0 else 0.2,
-            n_frames=cfg.syn_frames, rich=bool(cfg.syn_rich),
+            n_frames=cfg.syn_frames, rich=int(cfg.syn_rich),
         )
         images = data["frames"] if cfg.out_dim_color == 1 else np.repeat(data["frames"], 3, -1)
         sf = select_frames or {}

@@ -20,16 +20,25 @@ import numpy as np
 def scene_density_color(x, rich=False):
     """Analytic field: x [N, 3] -> (sigma [N], rgb [N, 3]).
 
-    Three Gaussian blobs of distinct brightness/colour inside |x| < 1;
-    `rich` adds a ring of small high-contrast blobs (sharper edges ->
-    denser event streams for quality experiments).
+    Three Gaussian blobs of distinct brightness/colour inside |x| < 1.
+    `rich` levels (int):
+      1: a ring of small high-contrast blobs (sharper edges -> denser
+         event streams);
+      2: additionally TEXTURED — a high-frequency multiplicative albedo
+         pattern on all geometry plus a textured floor slab.  Smooth
+         untextured blobs only emit events at silhouettes, leaving
+         interior brightness unconstrained by event supervision (the
+         mist-mode quality analysis, ROUND2_STATUS.md); the reference's
+         real esim scenes are textured rooms where events cover most
+         pixels, which level 2 emulates.
     """
+    rich = int(rich)
     blobs = [
         (np.array([0.3, 0.0, 0.0]), 0.22, 40.0, np.array([0.9, 0.2, 0.2])),
         (np.array([-0.25, 0.3, 0.1]), 0.18, 35.0, np.array([0.2, 0.85, 0.3])),
         (np.array([0.0, -0.3, -0.2]), 0.2, 30.0, np.array([0.25, 0.35, 0.95])),
     ]
-    if rich:
+    if rich >= 1:
         rng = np.random.default_rng(7)
         for k in range(12):
             ang = 2 * np.pi * k / 12
@@ -44,9 +53,22 @@ def scene_density_color(x, rich=False):
         w = amp * np.exp(-d2 / (2 * r * r))
         sigma += w
         rgb_acc += w[:, None] * col
+    if rich >= 2:
+        # opaque floor slab at z < -0.75 with a checker albedo
+        floor = 200.0 / (1.0 + np.exp((x[:, 2] + 0.75) / 0.01))
+        checker = 0.25 + 0.6 * (
+            (np.floor(x[:, 0] * 4) + np.floor(x[:, 1] * 4)) % 2)
+        sigma = sigma + floor
+        rgb_acc = rgb_acc + floor[:, None] * checker[:, None] * np.ones(3)
     rgb = rgb_acc / np.maximum(sigma[:, None], 1e-9)
+    if rich >= 2:
+        # multiplicative high-frequency albedo texture on everything
+        tex = (0.6 + 0.4 * np.sin(9.3 * np.pi * x[:, 0])
+               * np.sin(8.1 * np.pi * x[:, 1])
+               * np.sin(7.2 * np.pi * x[:, 2]))
+        rgb = rgb * tex[:, None]
     rgb = np.where(sigma[:, None] > 1e-6, rgb, 1.0)
-    return sigma, rgb
+    return np.clip(sigma, 0.0, None), np.clip(rgb, 0.0, 1.0)
 
 
 def render_gt(pose, intrinsics, H, W, n_steps=192, bound=1.0, bg=1.0,
