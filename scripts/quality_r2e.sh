@@ -31,4 +31,13 @@ run() {
 
 run M_tex 5400 --ff --share_march 1 --negative_event_sampling 1 \
   --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
+# level-shape gate on the scene where reconstruction is information-
+# sufficient (smooth-scene deltas are mist-regime artifacts)
+run M_tex8 5400 --ff --share_march 1 --negative_event_sampling 1 \
+  --num_levels 8 --level_dim 4 --grid_block 3 \
+  --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
+# opaque-at-init on the textured scene (carve dynamics)
+run M_texbias 5400 --ff --share_march 1 --negative_event_sampling 1 \
+  --density_bias 3.0 \
+  --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
 echo "ALL R2E DONE"
