@@ -137,6 +137,14 @@ class Config:
                                 # init, making the march start opaque and
                                 # CARVE like the reference's 512-uniform-
                                 # sample path (models/field.py)
+    march_warmup: int = 0       # train the FIRST N iters with the uniform
+                                # fixed-step renderer (num_steps samples, no
+                                # occupancy culling) before switching to the
+                                # march path.  Motivation: the march's
+                                # occupancy feedback reinforces the
+                                # transparent-mist gauge mode; uniform
+                                # sampling carves real geometry first
+                                # (quality_r2d J_fixed, ROUND2_STATUS.md)
     ckpt_interval: int = 1      # epochs between rotating checkpoint saves
                                 # (each save pulls the full train state to
                                 # host — costly over a remote-TPU link)

@@ -195,8 +195,10 @@ class Trainer:
         with open(self.log_path, "a") as f:
             f.write(line + "\n")
 
-    def _step_fn(self, batch, rng):
+    def _step_fn(self, batch, rng, warm=False):
         occ = self.occupancy.occ_bitfield if self.occupancy is not None else None
+        ss = (self.ss._replace(use_march=False, share_march=False)
+              if warm else self.ss)
         if "rand_pose_side" in batch:
             from enerf_tpu.train.step import train_step_clip
             assert self.clip_guidance is not None, (
@@ -222,11 +224,11 @@ class Trainer:
             return aux
         if self.cfg.events:
             self.state, aux = train_step_events(
-                self.state, batch, rng, self.ss, self.opt, occ
+                self.state, batch, rng, ss, self.opt, occ
             )
         else:
             self.state, aux = train_step_frames(
-                self.state, batch, rng, self.ss, self.opt, occ
+                self.state, batch, rng, ss, self.opt, occ
             )
         return aux
 
@@ -305,18 +307,26 @@ class Trainer:
                     arrs = MH.replicate_from_host(
                         jax.tree.map(np.asarray, arrs), self.mesh)
                 mode = "events" if cfg.events else "frames"
-                ck = (mode, tuple(sorted(statics.items())), chunk_len,
-                      self.mesh is not None)
-                if ck not in self._chunk_cache:
-                    self._chunk_cache[ck] = make_train_chunk(
-                        self.ss, self.opt, mode, statics,
-                        chunk_len=chunk_len,
-                        use_occ=self.occupancy is not None,
-                        density_scale=cfg.density_scale,
-                        density_thresh=cfg.density_thresh,
-                        mesh=self.mesh,
-                    )
-                chunk_fn = self._chunk_cache[ck]
+
+                def get_chunk(warm):
+                    # warm: uniform fixed-step warmup windows (march off,
+                    # cfg.march_warmup) — carve geometry before the march's
+                    # occupancy feedback can lock in the mist mode
+                    ss = (self.ss._replace(use_march=False,
+                                           share_march=False)
+                          if warm else self.ss)
+                    ck = (mode, tuple(sorted(statics.items())), chunk_len,
+                          self.mesh is not None, warm)
+                    if ck not in self._chunk_cache:
+                        self._chunk_cache[ck] = make_train_chunk(
+                            ss, self.opt, mode, statics,
+                            chunk_len=chunk_len,
+                            use_occ=self.occupancy is not None,
+                            density_scale=cfg.density_scale,
+                            density_thresh=cfg.density_thresh,
+                            mesh=self.mesh,
+                        )
+                    return self._chunk_cache[ck]
                 emap = getattr(provider, "error_map", None)
                 if self._mh and emap is not None and not (
                         hasattr(emap, "sharding")
@@ -325,6 +335,8 @@ class Trainer:
                     emap = MH.replicate_from_host(np.asarray(emap), self.mesh)
                 while it + chunk_len <= steps_per_epoch:
                     key, k = jax.random.split(key)
+                    chunk_fn = get_chunk(
+                        global_step < int(getattr(cfg, "march_warmup", 0)))
                     self.state, self.occupancy, emap, aux = chunk_fn(
                         self.state, self.occupancy, arrs, emap, k)
                     prev = global_step
@@ -360,7 +372,9 @@ class Trainer:
                     # global batch in _step_fn
                     k1 = jax.random.fold_in(k1, jax.process_index())
                 batch = provider.train_step_batch(k1)
-                aux = self._step_fn(batch, k2)
+                aux = self._step_fn(
+                    batch, k2,
+                    warm=global_step < int(getattr(cfg, "march_warmup", 0)))
                 if cfg.error_map and hasattr(provider, "update_error_map") and \
                         "per_ray_loss" in aux:
                     provider.update_error_map(aux["per_ray_loss"])

@@ -128,3 +128,29 @@ def test_cli_smoke(tmp_path):
     ws = os.path.join(str(tmp_path), "testweek", "cli_smoke")
     assert os.path.isdir(os.path.join(ws, "results"))
     assert os.path.exists(os.path.join(ws, "args.json"))
+
+
+def test_march_warmup_switches_renderer(tmp_path):
+    """--march_warmup trains the first N iters with the uniform fixed-step
+    renderer, then switches to the march path (two distinct fused chunks)."""
+    from enerf_tpu.config import build_config
+    from enerf_tpu.train.trainer import Trainer
+    from enerf_tpu.data.provider import make_providers
+
+    cfg = build_config([
+        "--mode", "synthetic", "--events", "1", "--event_only", "1",
+        "--out_dim_color", "1", "--H", "16", "--W", "16",
+        "--syn_frames", "6", "--C_thres", "0.2", "--bound", "1.0",
+        "--cuda_ray", "--batch_size_evs", "32", "--march_samples", "4",
+        "--max_steps", "32", "--num_steps", "8", "--iters", "8",
+        "--fuse_steps", "2", "--march_warmup", "4",
+        "--outdir", str(tmp_path), "--ckpt", "scratch",
+    ])
+    trainer = Trainer(cfg, use_checkpoint="scratch")
+    train, val = make_providers(cfg, {})
+    train.steps_per_epoch = 8
+    trainer.train(train, None, max_epoch=1)
+    warm_keys = [k for k in trainer._chunk_cache if k[-1] is True]
+    march_keys = [k for k in trainer._chunk_cache if k[-1] is False]
+    assert warm_keys and march_keys, trainer._chunk_cache.keys()
+    assert int(trainer.state.step) == 8
