@@ -148,6 +148,11 @@ class Config:
     ckpt_interval: int = 1      # epochs between rotating checkpoint saves
                                 # (each save pulls the full train state to
                                 # host — costly over a remote-TPU link)
+    hidden_dim: int = 64        # sigma-net width (reference hard-codes 64,
+    hidden_dim_color: int = 64  # network.py:28/58; exposed because on TPU
+    geo_feat_dim: int = 15      # the MLPs are <1% of step time — wider
+                                # nets are a free quality lever,
+                                # BENCH_NOTES.md "Implications")
 
     def validate(self):
         """reference main_nerf.py:78-93 assert_config (with messages)."""

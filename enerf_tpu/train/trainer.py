@@ -71,6 +71,9 @@ class Trainer:
             bf16_gather=(None if cfg.bf16_gather < 0
                          else bool(cfg.bf16_gather)),
             density_bias=cfg.density_bias,
+            hidden_dim=cfg.hidden_dim,
+            hidden_dim_color=cfg.hidden_dim_color,
+            geo_feat_dim=cfg.geo_feat_dim,
         )
         self.ss = StepStatics(
             field_static=self.static,

@@ -154,3 +154,32 @@ def test_march_warmup_switches_renderer(tmp_path):
     march_keys = [k for k in trainer._chunk_cache if k[-1] is False]
     assert warm_keys and march_keys, trainer._chunk_cache.keys()
     assert int(trainer.state.step) == 8
+
+
+def test_wide_mlp_trains(tmp_path):
+    """--hidden_dim/--hidden_dim_color/--geo_feat_dim widen the field MLPs
+    (free on TPU — BENCH_NOTES.md: the MLPs are <1% of step time; the
+    reference hard-codes 64, network.py:28/58)."""
+    from enerf_tpu.config import build_config
+    from enerf_tpu.train.trainer import Trainer
+    from enerf_tpu.data.provider import make_providers
+
+    cfg = build_config([
+        "--mode", "synthetic", "--events", "1", "--event_only", "1",
+        "--out_dim_color", "1", "--H", "16", "--W", "16",
+        "--syn_frames", "6", "--C_thres", "0.2", "--bound", "1.0",
+        "--cuda_ray", "--batch_size_evs", "32", "--march_samples", "4",
+        "--max_steps", "32", "--num_steps", "8", "--iters", "4",
+        "--fuse_steps", "2",
+        "--hidden_dim", "128", "--hidden_dim_color", "128",
+        "--geo_feat_dim", "31", "--log_every", "2",
+        "--outdir", str(tmp_path), "--ckpt", "scratch",
+    ])
+    trainer = Trainer(cfg, use_checkpoint="scratch")
+    assert trainer.state.params["sigma_w0"].shape[1] == 128
+    assert trainer.state.params["sigma_w1"].shape == (128, 32)  # 1 + geo 31
+    train, val = make_providers(cfg, {})
+    train.steps_per_epoch = 4
+    trainer.train(train, None, max_epoch=1)
+    assert int(trainer.state.step) == 4
+    assert np.isfinite(trainer.stats["loss"][-1])
