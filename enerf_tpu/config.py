@@ -148,6 +148,12 @@ class Config:
     ckpt_interval: int = 1      # epochs between rotating checkpoint saves
                                 # (each save pulls the full train state to
                                 # host — costly over a remote-TPU link)
+    async_ckpt: int = 0         # overlap checkpoint saves with training:
+                                # device->host copies start async and the
+                                # npz write runs on a worker thread
+                                # (train/checkpoints.py CheckpointManager;
+                                # saves are atomic tmp+rename, readers
+                                # wait() for in-flight saves)
     hidden_dim: int = 64        # sigma-net width (reference hard-codes 64,
     hidden_dim_color: int = 64  # network.py:28/58; exposed because on TPU
     geo_feat_dim: int = 15      # the MLPs are <1% of step time — wider

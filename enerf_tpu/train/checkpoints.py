@@ -14,6 +14,7 @@ flattened with key paths into one .npz per checkpoint plus a json sidecar
 import json
 import os
 import re
+import threading
 
 import numpy as np
 import jax
@@ -29,19 +30,42 @@ def _flatten(tree):
     return out, treedef
 
 
+def _snapshot(state, occupancy):
+    """Flatten to {key: leaf} and start device->host copies without
+    blocking (jax.Array.copy_to_host_async); leaves materialize later."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(
+        {"state": state, "occupancy": occupancy})
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(p) for p in path)
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
+        out[key] = leaf
+    return out
+
+
+def _write_arrays(path, arrays, meta):
+    """Materialize + write npz/json atomically (tmp + os.replace)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {k: np.asarray(v) for k, v in arrays.items()}
+    with open(path + ".npz.tmp", "wb") as f:  # file object: savez won't
+        np.savez(f, **arrays)                 # append another .npz suffix
+    os.replace(path + ".npz.tmp", path + ".npz")
+    with open(path + ".json.tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(path + ".json.tmp", path + ".json")
+    return path + ".npz"
+
+
 def save_checkpoint(path, state, occupancy=None, epoch=0, stats=None):
     """Write <path>.npz (+ .json).  Returns the npz path."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arrays, _ = _flatten({"state": state, "occupancy": occupancy})
-    np.savez(path + ".npz", **arrays)
+    arrays = _snapshot(state, occupancy)
     meta = {
         "epoch": int(epoch),
         "global_step": int(np.asarray(state.step)),
         "stats": stats or {},
     }
-    with open(path + ".json", "w") as f:
-        json.dump(meta, f)
-    return path + ".npz"
+    return _write_arrays(path, arrays, meta)
 
 
 def load_checkpoint(path, state_template, occupancy_template=None):
@@ -86,13 +110,33 @@ def load_checkpoint(path, state_template, occupancy_template=None):
 
 
 class CheckpointManager:
-    """Rotating checkpoints + best tracking (reference Trainer semantics)."""
+    """Rotating checkpoints + best tracking (reference Trainer semantics).
 
-    def __init__(self, ckpt_dir, name="ngp", max_keep=2):
+    `async_save=True` overlaps checkpointing with training: device->host
+    copies are STARTED on the caller's thread (`copy_to_host_async`, so the
+    transfer rides the interconnect while the next steps run), and the
+    npz/json write + rotation happen on a single worker thread.  The JAX
+    arrays snapshotted are immutable, so the in-flight save is consistent
+    even though training continues.  `wait()` drains pending saves; it is
+    called before any load/resolve and at rotation so readers never see a
+    half-written file (writes go to a .tmp then os.replace).
+    """
+
+    def __init__(self, ckpt_dir, name="ngp", max_keep=2, async_save=False):
         self.ckpt_dir = ckpt_dir
         self.name = name
         self.max_keep = max_keep
+        self.async_save = async_save
+        self._pending = []
+        self._lock = threading.Lock()
         os.makedirs(ckpt_dir, exist_ok=True)
+
+    def wait(self):
+        """Block until every in-flight async save has landed on disk."""
+        with self._lock:
+            pending, self._pending = self._pending, []
+        for t in pending:
+            t.join()
 
     def _list(self):
         pat = re.compile(rf"{re.escape(self.name)}_ep(\d+)\.npz$")
@@ -103,31 +147,55 @@ class CheckpointManager:
                 out.append((int(m.group(1)), os.path.join(self.ckpt_dir, f)))
         return sorted(out)
 
+    def _save(self, path, state, occupancy, epoch, stats, rotate):
+        arrays = _snapshot(state, occupancy)
+        meta = {
+            "epoch": int(epoch),
+            "global_step": int(np.asarray(state.step)),
+            "stats": stats or {},
+        }
+
+        def work():
+            _write_arrays(path, arrays, meta)
+            if rotate:
+                with self._lock:
+                    ckpts = self._list()
+                    while len(ckpts) > self.max_keep:
+                        ep, p = ckpts.pop(0)
+                        for ext in (".npz", ".json"):
+                            fp = p[:-4] + ext
+                            if os.path.exists(fp):
+                                os.remove(fp)
+
+        if self.async_save:
+            t = threading.Thread(target=work, daemon=True)
+            with self._lock:
+                self._pending = [x for x in self._pending if x.is_alive()]
+                self._pending.append(t)
+            t.start()
+        else:
+            work()
+        return path + ".npz"
+
     def save(self, state, occupancy, epoch, stats=None):
         path = os.path.join(self.ckpt_dir, f"{self.name}_ep{epoch:04d}")
-        out = save_checkpoint(path, state, occupancy, epoch, stats)
-        # rotate (utils.py:1327-1332)
-        ckpts = self._list()
-        while len(ckpts) > self.max_keep:
-            ep, p = ckpts.pop(0)
-            for ext in (".npz", ".json"):
-                fp = p[:-4] + ext
-                if os.path.exists(fp):
-                    os.remove(fp)
-        return out
+        return self._save(path, state, occupancy, epoch, stats, rotate=True)
 
     def save_best(self, state, occupancy, epoch, stats=None):
         """Best-by-metric checkpoint with EMA weights swapped in
         (utils.py:1337-1345)."""
         best_state = state._replace(params=state.ema_params)
         path = os.path.join(self.ckpt_dir, f"{self.name}_best")
-        return save_checkpoint(path, best_state, occupancy, epoch, stats)
+        return self._save(path, best_state, occupancy, epoch, stats,
+                          rotate=False)
 
     def latest(self):
+        self.wait()
         ckpts = self._list()
         return ckpts[-1][1] if ckpts else None
 
     def best(self):
+        self.wait()
         p = os.path.join(self.ckpt_dir, f"{self.name}_best.npz")
         return p if os.path.exists(p) else None
 

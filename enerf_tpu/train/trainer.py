@@ -143,6 +143,7 @@ class Trainer:
         self.ckpt = CheckpointManager(
             os.path.join(self.workspace, "checkpoints"),
             name=cfg.expname, max_keep=cfg.max_keep_ckpt,
+            async_save=bool(getattr(cfg, "async_ckpt", 0)),
         )
         self.epoch = 0
         self.best_metric = -np.inf
@@ -394,6 +395,8 @@ class Trainer:
                 self.ckpt.save(self.state, self.occupancy, epoch, self.stats)
             if self._mh:
                 # don't let non-primary hosts race ahead of the checkpoint
+                # (async saves must land before the barrier releases them)
+                self.ckpt.wait()
                 from enerf_tpu.parallel import multihost as MH
                 MH.all_processes_barrier(f"ckpt_ep{epoch}")
 
@@ -406,6 +409,7 @@ class Trainer:
                     if self.primary:
                         self.ckpt.save_best(
                             self.state, self.occupancy, epoch, self.stats)
+        self.ckpt.wait()  # drain async checkpoint writes before returning
         self.log(f"[train] done at epoch {self.epoch}, step {global_step}")
 
     # ------------------------------------------------------------------ eval

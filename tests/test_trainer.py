@@ -156,6 +156,34 @@ def test_march_warmup_switches_renderer(tmp_path):
     assert int(trainer.state.step) == 8
 
 
+def test_async_checkpoints_roundtrip(tmp_path):
+    """--async_ckpt overlaps saves with training; resume sees identical
+    state, rotation still holds, and wait() drains in-flight writes."""
+    from enerf_tpu.train.checkpoints import CheckpointManager, load_checkpoint
+    from enerf_tpu.train.trainer import Trainer
+    from enerf_tpu.data.provider import make_providers
+
+    cfg = tiny_cfg(tmp_path, async_ckpt=1, max_keep_ckpt=2,
+                   expname="async_ck")
+    trainer = Trainer(cfg, use_checkpoint="scratch")
+    assert trainer.ckpt.async_save
+    train_p, val_p = make_providers(cfg)
+    train_p.steps_per_epoch = 10
+    trainer.train(train_p, val_p, max_epoch=3)
+    # train() drains pending saves; rotation kept max_keep epochs + best
+    names = sorted(os.listdir(os.path.join(trainer.workspace, "checkpoints")))
+    eps = [n for n in names if n.endswith(".npz") and "_ep" in n]
+    assert len(eps) == 2, names
+    assert not any(n.endswith(".tmp") for n in names), names
+
+    # resume equality: async-saved state == live state
+    t2 = Trainer(cfg, workspace=trainer.workspace, use_checkpoint="latest")
+    assert int(t2.state.step) == int(trainer.state.step)
+    a = np.asarray(trainer.state.params["sigma_w0"])
+    b = np.asarray(t2.state.params["sigma_w0"])
+    np.testing.assert_array_equal(a, b)
+
+
 def test_wide_mlp_trains(tmp_path):
     """--hidden_dim/--hidden_dim_color/--geo_feat_dim widen the field MLPs
     (free on TPU — BENCH_NOTES.md: the MLPs are <1% of step time; the
