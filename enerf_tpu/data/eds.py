@@ -69,19 +69,14 @@ def load_eds_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1,
     if select_idxs is not None:
         tss_imgs_us = tss_imgs_us[select_idxs]
         img_paths = [img_paths[i] for i in select_idxs]
-    images = []
-    for p in img_paths:
-        im = cv2.imread(p, cv2.IMREAD_UNCHANGED)
-        if im.ndim == 3:
-            im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
-        else:
-            im = im[..., None].repeat(3, -1)
-        im = im.astype(np.float32) / 255.0
-        if out_dim_color == 1:
-            im = (im @ np.asarray([0.299, 0.587, 0.114], np.float32))[..., None]
-        images.append(im)
-    images = np.stack(images)
+    from enerf_tpu.data.provider import read_image
+    images = np.stack(
+        [read_image(p, out_dim_color, downscale) for p in img_paths])
     H, W = images.shape[1:3]
+    if intrinsics is not None and downscale > 1:
+        # frame-camera intrinsics follow the image resize (events keep the
+        # full event-camera resolution, matching the reference)
+        intrinsics = tuple(v / downscale for v in intrinsics)
     if intrinsics is None:
         f = 0.7 * W
         intrinsics = (f, f, W / 2.0, H / 2.0)

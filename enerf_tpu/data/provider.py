@@ -100,6 +100,23 @@ def resolve_image_dir(datadir, mode, e2vid=0, images_corrupted=False,
     return default_dir, "clean"
 
 
+def read_image(path, out_dim_color, downscale=1):
+    """Read one image -> [H, W, C] float32 in [0, 1] (shared by the esim /
+    tumvie / eds loaders so downscale semantics stay identical)."""
+    im = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if im.ndim == 3:
+        im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+    else:
+        im = im[..., None].repeat(3, -1)
+    if downscale > 1:
+        im = cv2.resize(im, (im.shape[1] // downscale, im.shape[0] // downscale),
+                        interpolation=cv2.INTER_AREA)
+    im = im.astype(np.float32) / 255.0
+    if out_dim_color == 1:
+        im = (im @ np.asarray([0.299, 0.587, 0.114], np.float32))[..., None]
+    return im
+
+
 def _load_image_stack(imgdir, out_dim_color, downscale, expect=None):
     """Read sorted png/jpg stack -> [F, H, W, C] float32 in [0, 1]."""
     img_paths = sorted(
@@ -112,21 +129,8 @@ def _load_image_stack(imgdir, out_dim_color, downscale, expect=None):
             f"{imgdir}: {len(img_paths)} images but {expect} timestamps — "
             "the alternate image source must align with the frame stamps"
         )
-    images = []
-    for p in img_paths:
-        im = cv2.imread(p, cv2.IMREAD_UNCHANGED)
-        if im.ndim == 3:
-            im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
-        else:
-            im = im[..., None].repeat(3, -1)
-        if downscale > 1:
-            im = cv2.resize(im, (im.shape[1] // downscale, im.shape[0] // downscale),
-                            interpolation=cv2.INTER_AREA)
-        im = im.astype(np.float32) / 255.0
-        if out_dim_color == 1:
-            im = (im @ np.asarray([0.299, 0.587, 0.114], np.float32))[..., None]
-        images.append(im)
-    return np.stack(images)
+    return np.stack([read_image(p, out_dim_color, downscale)
+                     for p in img_paths])
 
 
 def load_esim_dataset(datadir, scale=0.33, out_dim_color=1, downscale=1,

@@ -54,9 +54,11 @@ def composite_rays(sigmas, rgbs, deltas, z_vals, nears, fars, bg_color,
     """
     weights, _ = composite_weights(sigmas, deltas, density_scale)
     weights_sum = jnp.sum(weights, axis=-1)
-    ori_z = jnp.clip(
-        (z_vals - nears[:, None]) / (fars - nears)[:, None], 0.0, 1.0
-    )
+    # rays that miss the AABB carry fars == nears (renderer sets both to
+    # min_near); guard the 0/0 so depth stays finite, like march.py's
+    # near_safe/far_safe
+    span = jnp.maximum((fars - nears)[:, None], 1e-6)
+    ori_z = jnp.clip((z_vals - nears[:, None]) / span, 0.0, 1.0)
     depth = jnp.sum(weights * ori_z, axis=-1)
     image = jnp.sum(weights[..., None] * rgbs, axis=-2)
     image = image + (1.0 - weights_sum)[..., None] * bg_color

@@ -120,9 +120,11 @@ def march_rays(
         occ_s = (rows[:, 0] | rows[:, 1]) != 0
         occ = occ_bit != 0
 
-        def boundary(nc, grid_h, block):
-            # DDA distance to the next (super)voxel boundary
-            # (raymarching.cu:389-396 scaled by the block size)
+        def boundary(nc, block):
+            # DDA distance to the next (super)voxel boundary: cell coords
+            # scale by `block` back into H-grid units, and the (H-1)
+            # normalization is the reference's for BOTH granularities
+            # (raymarching.cu:389-396) — do not normalize by H/SUPER
             nb = (
                 ((nc.astype(jnp.float32) * block + 0.5 * block
                   + 0.5 * block * jnp.sign(rays_d))
@@ -131,8 +133,8 @@ def march_rays(
             ) * inv_d
             return t + jnp.maximum(0.0, jnp.min(nb, axis=-1))
 
-        tt_cell = boundary(nxyz, H, 1)
-        tt_super = boundary(sxyz, HS, SUPER)
+        tt_cell = boundary(nxyz, 1)
+        tt_super = boundary(sxyz, SUPER)
         tt = jnp.where(occ_s, tt_cell, tt_super)
         return occ, dt, tt
 

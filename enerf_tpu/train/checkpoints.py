@@ -31,16 +31,25 @@ def _flatten(tree):
 
 
 def _snapshot(state, occupancy):
-    """Flatten to {key: leaf} and start device->host copies without
-    blocking (jax.Array.copy_to_host_async); leaves materialize later."""
+    """Flatten to {key: np.ndarray}, overlapping the device->host copies.
+
+    All copies are STARTED first (copy_to_host_async), then materialized —
+    so the transfers pipeline instead of running serially per leaf.  The
+    snapshot MUST be materialized before this returns: the caller's next
+    train step donates the state buffers (donate_argnums), after which any
+    deferred np.asarray would raise 'Array has been deleted' (jax checks
+    deletion before using a cached host copy).  The async win that remains
+    for async_save is the npz DISK write on the worker thread.
+    """
     flat, _ = jax.tree_util.tree_flatten_with_path(
         {"state": state, "occupancy": occupancy})
+    for _, leaf in flat:
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
     out = {}
     for path, leaf in flat:
         key = "/".join(str(p) for p in path)
-        if hasattr(leaf, "copy_to_host_async"):
-            leaf.copy_to_host_async()
-        out[key] = leaf
+        out[key] = np.asarray(leaf)
     return out
 
 
@@ -112,14 +121,13 @@ def load_checkpoint(path, state_template, occupancy_template=None):
 class CheckpointManager:
     """Rotating checkpoints + best tracking (reference Trainer semantics).
 
-    `async_save=True` overlaps checkpointing with training: device->host
-    copies are STARTED on the caller's thread (`copy_to_host_async`, so the
-    transfer rides the interconnect while the next steps run), and the
-    npz/json write + rotation happen on a single worker thread.  The JAX
-    arrays snapshotted are immutable, so the in-flight save is consistent
-    even though training continues.  `wait()` drains pending saves; it is
-    called before any load/resolve and at rotation so readers never see a
-    half-written file (writes go to a .tmp then os.replace).
+    `async_save=True` overlaps the npz/json DISK write + rotation with
+    training on a worker thread.  The device->host pull itself happens on
+    the caller's thread (pipelined across leaves via copy_to_host_async)
+    because the next train step donates the state buffers — see _snapshot.
+    Worker failures are re-raised by the next `wait()` (never silent).
+    `wait()` drains pending saves; it is called before any load/resolve so
+    readers never see a half-written file (writes are tmp + os.replace).
     """
 
     def __init__(self, ckpt_dir, name="ngp", max_keep=2, async_save=False):
@@ -128,15 +136,21 @@ class CheckpointManager:
         self.max_keep = max_keep
         self.async_save = async_save
         self._pending = []
+        self._errors = []
         self._lock = threading.Lock()
         os.makedirs(ckpt_dir, exist_ok=True)
 
     def wait(self):
-        """Block until every in-flight async save has landed on disk."""
+        """Block until every in-flight async save has landed on disk.
+        Re-raises the first worker-thread failure, if any."""
         with self._lock:
             pending, self._pending = self._pending, []
         for t in pending:
             t.join()
+        with self._lock:
+            errors, self._errors = self._errors, []
+        if errors:
+            raise errors[0]
 
     def _list(self):
         pat = re.compile(rf"{re.escape(self.name)}_ep(\d+)\.npz$")
@@ -156,16 +170,23 @@ class CheckpointManager:
         }
 
         def work():
-            _write_arrays(path, arrays, meta)
-            if rotate:
-                with self._lock:
-                    ckpts = self._list()
-                    while len(ckpts) > self.max_keep:
-                        ep, p = ckpts.pop(0)
-                        for ext in (".npz", ".json"):
-                            fp = p[:-4] + ext
-                            if os.path.exists(fp):
-                                os.remove(fp)
+            try:
+                _write_arrays(path, arrays, meta)
+                if rotate:
+                    with self._lock:
+                        ckpts = self._list()
+                        while len(ckpts) > self.max_keep:
+                            ep, p = ckpts.pop(0)
+                            for ext in (".npz", ".json"):
+                                fp = p[:-4] + ext
+                                if os.path.exists(fp):
+                                    os.remove(fp)
+            except Exception as e:  # surfaced by the next wait()
+                if self.async_save:
+                    with self._lock:
+                        self._errors.append(e)
+                else:
+                    raise
 
         if self.async_save:
             t = threading.Thread(target=work, daemon=True)

@@ -122,7 +122,7 @@ def frames_loss_fn(params, ss, batch, rng, occ=None):
 
 def event_loss_fn(params, ss, batch, rng, occ=None):
     """Event photometric loss on paired renders (utils.py:482-573)."""
-    k_bg, k1, k2, k3, k4, kf = jax.random.split(rng, 6)
+    k_bg, k1, k2, k3, k4, k5, kf = jax.random.split(rng, 7)
     N = batch["rays_evs_o1"].shape[0]
     C = ss.out_dim_color
     # one random bg shared by both renders of the pair (utils.py:487)
@@ -182,8 +182,9 @@ def event_loss_fn(params, ss, batch, rng, occ=None):
                 batch["rays_no_evs_o2"], batch["rays_no_evs_d2"], bg2, k4, occ,
             )
         else:
+            # independent perturb keys per view, like the event pair k1/k2
             no1 = _render(params, ss, batch["rays_no_evs_o1"], batch["rays_no_evs_d1"], bg2, k4, occ)
-            no2 = _render(params, ss, batch["rays_no_evs_o2"], batch["rays_no_evs_d2"], bg2, k4, occ)
+            no2 = _render(params, ss, batch["rays_no_evs_o2"], batch["rays_no_evs_d2"], bg2, k5, occ)
         nll1 = losses.log_intensity(no1["image"], ss.use_luma, True)
         nll2 = losses.log_intensity(no2["image"], ss.use_luma, True)
         lne = losses.no_event_loss(nll2 - nll1, ss.C_thres, ss.w_no_ev)

@@ -166,9 +166,17 @@ class Trainer:
                     path, self.state, self.occupancy
                 )
                 self.epoch = meta.get("epoch", 0)
+                # restore running stats + best metric so the first
+                # post-resume eval can't clobber a better best-checkpoint
+                # (reference utils.py:1383-1398 restores checkpoint stats)
+                st = meta.get("stats") or {}
+                for k in ("loss", "psnr"):
+                    if isinstance(st.get(k), list):
+                        self.stats[k] = list(st[k])
+                self.best_metric = float(st.get("best_metric", -np.inf))
                 self.log(f"[ckpt] resumed from {path} at epoch {self.epoch}")
 
-        self._sharded_step = None
+        self._sharded_steps = {}  # warm -> jitted sharded step
         self._sharded_render = None
         # pod-slice runs: host-local values must become global jax.Arrays
         # before they reach a program jitted over a multi-process mesh
@@ -176,11 +184,6 @@ class Trainer:
         # device_put path
         self._mh = mesh is not None and jax.process_count() > 1
         if mesh is not None:
-            from enerf_tpu.parallel.mesh import make_sharded_train_step
-            mode = "events" if cfg.events else "frames"
-            self._sharded_step = make_sharded_train_step(
-                self.ss, self.opt, mesh, mode=mode
-            )
             if self._mh:
                 from enerf_tpu.parallel import multihost as MH
                 self.state = MH.replicate_from_host(
@@ -199,6 +202,18 @@ class Trainer:
         with open(self.log_path, "a") as f:
             f.write(line + "\n")
 
+    def _get_sharded_step(self, warm=False):
+        """Per-warm-phase sharded step (march_warmup must also apply on the
+        mesh per-step path, not only the fused-chunk path)."""
+        if warm not in self._sharded_steps:
+            from enerf_tpu.parallel.mesh import make_sharded_train_step
+            ss = (self.ss._replace(use_march=False, share_march=False)
+                  if warm else self.ss)
+            self._sharded_steps[warm] = make_sharded_train_step(
+                ss, self.opt, self.mesh,
+                mode="events" if self.cfg.events else "frames")
+        return self._sharded_steps[warm]
+
     def _step_fn(self, batch, rng, warm=False):
         occ = self.occupancy.occ_bitfield if self.occupancy is not None else None
         ss = (self.ss._replace(use_march=False, share_march=False)
@@ -210,11 +225,11 @@ class Trainer:
             )
             side = batch.pop("rand_pose_side")
             self.state, aux = train_step_clip(
-                self.state, batch, rng, self.ss, self.opt,
+                self.state, batch, rng, ss, self.opt,
                 self.clip_guidance.text_feat, side, occ,
             )
             return aux
-        if self._sharded_step is not None:
+        if self.mesh is not None:
             if self._mh:
                 # each host contributes its own slice of the global batch
                 # (the sampling key was process-folded in train())
@@ -224,7 +239,8 @@ class Trainer:
             else:
                 from enerf_tpu.parallel.mesh import shard_batch
                 batch = shard_batch(batch, self.mesh)
-            self.state, aux = self._sharded_step(self.state, batch, rng, occ)
+            step = self._get_sharded_step(warm)
+            self.state, aux = step(self.state, batch, rng, occ)
             return aux
         if self.cfg.events:
             self.state, aux = train_step_events(
@@ -257,6 +273,7 @@ class Trainer:
         global_step = int(self.state.step)
         steps_per_epoch = getattr(provider, "steps_per_epoch", 100)
         t_start = time.time()
+        start_step = global_step  # it/s counts THIS session's steps only
 
         # fused multi-step path (train/chunk.py): K sampler+step iterations
         # plus the occupancy update in ONE dispatched program; with a mesh it
@@ -284,7 +301,7 @@ class Trainer:
             self.log(
                 f"[train] epoch {self.epoch} step {step} "
                 f"loss={loss:.5f} {extras} "
-                f"({step / (time.time() - t_start):.2f} it/s)"
+                f"({(step - start_step) / (time.time() - t_start):.2f} it/s)"
             )
             if self.writer is not None:
                 for name, v in aux.items():
@@ -406,6 +423,7 @@ class Trainer:
                 self.stats["psnr"].append(metric)
                 if metric > self.best_metric:
                     self.best_metric = metric
+                    self.stats["best_metric"] = float(metric)
                     if self.primary:
                         self.ckpt.save_best(
                             self.state, self.occupancy, epoch, self.stats)
@@ -503,11 +521,16 @@ class Trainer:
             ssims = [M.ssim(preds[i], gts[i]) for i in have_gt]
             results["psnr"] = float(np.mean(psnrs))
             results["ssim"] = float(np.mean(ssims))
-            la, lv = M.compute_lpips(preds[have_gt[0]], gts[have_gt[0]],
-                                     self.static.out_dim_color)
+            # per-image LPIPS averaged over the val set (reference
+            # utils.py:1096-1112 computes alex+vgg per image)
+            lp = [M.compute_lpips(preds[i], gts[i],
+                                  self.static.out_dim_color)
+                  for i in have_gt]
             suf = M.lpips_label()
-            results[f"lpips_alex{suf}"] = la
-            results[f"lpips_vgg{suf}"] = lv
+            las = [a for a, _ in lp if a is not None]
+            lvs = [v for _, v in lp if v is not None]
+            results[f"lpips_alex{suf}"] = float(np.mean(las)) if las else None
+            results[f"lpips_vgg{suf}"] = float(np.mean(lvs)) if lvs else None
 
         if self.cfg.event_only and have_gt:
             # affine log correction over ALL val images (utils.py:1170-1265)

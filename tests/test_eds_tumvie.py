@@ -132,6 +132,16 @@ def test_tumvie_roundtrip(sim, tmp_path_factory):
     assert set(np.unique(loaded["events"][:, 3])) <= {-1.0, 1.0}
     assert loaded["W_ev"] == 1280  # tumvie event-camera resolution constant
 
+    # downscale halves images AND frame-camera intrinsics (event camera
+    # keeps full resolution); was silently ignored before round 2
+    ds = load_tumvie_dataset(d, scale=0.33, out_dim_color=1,
+                             pp_poses_sphere=False, downscale=2)
+    assert ds["images"].shape == (20, 16, 16, 1)
+    np.testing.assert_allclose(
+        np.asarray(ds["intrinsics"]),
+        np.asarray(loaded["intrinsics"]) / 2.0)
+    assert ds["intrinsics_evs"] == loaded["intrinsics_evs"]
+
 
 def test_tumvie_sphere_preprocessing_path(sim, tmp_path_factory):
     from enerf_tpu.data.tumvie import load_tumvie_dataset, save_tumvie_dataset

@@ -182,6 +182,15 @@ def test_async_checkpoints_roundtrip(tmp_path):
     a = np.asarray(trainer.state.params["sigma_w0"])
     b = np.asarray(t2.state.params["sigma_w0"])
     np.testing.assert_array_equal(a, b)
+    # best_metric survives resume so the next eval can't clobber the best
+    # checkpoint with a worse model (reference utils.py:1383-1398)
+    assert np.isfinite(t2.best_metric)
+    assert t2.best_metric == trainer.best_metric
+    # the rotating save lands before that epoch's eval, so the restored
+    # psnr history is a (possibly one-short) prefix of the live one
+    n = len(t2.stats["psnr"])
+    assert n >= len(trainer.stats["psnr"]) - 1
+    assert t2.stats["psnr"] == trainer.stats["psnr"][:n]
 
 
 def test_wide_mlp_trains(tmp_path):
