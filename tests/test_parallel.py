@@ -327,3 +327,30 @@ def test_sharded_eval_render_matches_single_device():
                                np.asarray(single["image"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(sharded["depth"]),
                                np.asarray(single["depth"]), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_march_warmup_applies_on_sharded_per_step_path(tmp_path):
+    """--march_warmup must switch the renderer on the mesh PER-STEP path
+    (fuse_steps=1) too, not only the fused-chunk path: the trainer builds
+    a warm (use_march=False) sharded step for the warmup iters."""
+    from enerf_tpu.config import build_config
+    from enerf_tpu.train.trainer import Trainer
+    from enerf_tpu.data.provider import make_providers
+
+    cfg = build_config([
+        "--mode", "synthetic", "--events", "1", "--event_only", "1",
+        "--out_dim_color", "1", "--H", "16", "--W", "16",
+        "--syn_frames", "6", "--C_thres", "0.2", "--bound", "1.0",
+        "--cuda_ray", "--batch_size_evs", "32", "--march_samples", "4",
+        "--max_steps", "32", "--num_steps", "8", "--iters", "8",
+        "--fuse_steps", "1", "--march_warmup", "4",
+        "--outdir", str(tmp_path), "--ckpt", "scratch",
+    ])
+    trainer = Trainer(cfg, use_checkpoint="scratch", mesh=make_mesh(8))
+    train, _ = make_providers(cfg, {})
+    train.steps_per_epoch = 8
+    trainer.train(train, None, max_epoch=1)
+    assert int(trainer.state.step) == 8
+    # both the warm and the march sharded steps were built and used
+    assert set(trainer._sharded_steps.keys()) == {True, False}
