@@ -148,6 +148,9 @@ class Config:
     ckpt_interval: int = 1      # epochs between rotating checkpoint saves
                                 # (each save pulls the full train state to
                                 # host — costly over a remote-TPU link)
+    profile: int = 0            # capture a jax.profiler trace of ~N train
+                                # steps (after N warmup steps) into
+                                # <workspace>/profile; 0 = off
     async_ckpt: int = 0         # overlap checkpoint saves with training:
                                 # device->host copies start async and the
                                 # npz write runs on a worker thread

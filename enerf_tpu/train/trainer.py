@@ -289,6 +289,29 @@ class Trainer:
         )
         self._chunk_cache = getattr(self, "_chunk_cache", {})
 
+        # --profile K: capture a jax.profiler trace of ~K steps once the
+        # first K steps have compiled/warmed (utils/profiling.py; view with
+        # tensorboard --logdir <workspace>/profile)
+        prof = {"until": None,
+                "done": int(getattr(cfg, "profile", 0)) <= 0
+                or not self.primary}
+
+        def maybe_profile(step):
+            if prof["done"]:
+                return
+            k = int(cfg.profile)
+            if prof["until"] is None and step >= k:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.start_trace(
+                    os.path.join(self.workspace, "profile"))
+                prof["until"] = step + k
+            elif prof["until"] is not None and step >= prof["until"]:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                prof["done"] = True
+                self.log(f"[profile] trace ({k} steps) -> "
+                         f"{os.path.join(self.workspace, 'profile')}")
+
         def log_aux(aux, step):
             loss = float(aux["loss"])
             # implC_* telemetry goes to tensorboard only (reference
@@ -363,6 +386,7 @@ class Trainer:
                     prev = global_step
                     it += chunk_len
                     global_step += chunk_len
+                    maybe_profile(global_step)
                     if global_step // cfg.log_every != prev // cfg.log_every:
                         epoch_losses.append(log_aux(aux, global_step))
                 if emap is not None:
@@ -400,6 +424,7 @@ class Trainer:
                         "per_ray_loss" in aux:
                     provider.update_error_map(aux["per_ray_loss"])
                 global_step += 1
+                maybe_profile(global_step)
                 if global_step % cfg.log_every == 0:
                     epoch_losses.append(log_aux(aux, global_step))
 
@@ -427,6 +452,10 @@ class Trainer:
                     if self.primary:
                         self.ckpt.save_best(
                             self.state, self.occupancy, epoch, self.stats)
+        if not prof["done"] and prof["until"] is not None:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()  # run ended inside the trace window
+            prof["done"] = True
         self.ckpt.wait()  # drain async checkpoint writes before returning
         self.log(f"[train] done at epoch {self.epoch}, step {global_step}")
 
