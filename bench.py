@@ -76,13 +76,8 @@ def main(argv=None):
     state, opt = init_train_state(params, lr0=1e-2, iters=10000)
     occ = init_occupancy(1.0)
     # realistic trained-scene occupancy: a ball covering ~6% of the grid
-    import numpy as np
-    from enerf_tpu.render.occupancy import GRID_SIZE
-    g = np.arange(GRID_SIZE)
-    xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
-    centers = 2.0 * np.stack([xs, ys, zs], -1) / (GRID_SIZE - 1) - 1.0
-    ball = np.linalg.norm(centers, axis=-1) < 0.48
-    occ = occ._replace(occ_bitfield=jnp.asarray(ball.reshape(1, -1)))
+    from enerf_tpu.render.occupancy import ball_bitfield
+    occ = occ._replace(occ_bitfield=ball_bitfield())
 
     key = jax.random.PRNGKey(1)
     d = jax.random.normal(key, (n_rays, 3))

@@ -41,6 +41,19 @@ def num_cascades(bound):
     return 1 + int(np.ceil(np.log2(max(bound, 1.0))))
 
 
+def ball_bitfield(radius=0.48, cascades=1):
+    """Synthetic trained-scene-like bitfield: a centered ball occupying
+    ~6% of cascade 0 (benchmarks / dryruns — bench.py, __graft_entry__,
+    scripts/perf_breakdown.py all share this shape)."""
+    g = np.arange(GRID_SIZE)
+    xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
+    centers = 2.0 * np.stack([xs, ys, zs], -1) / (GRID_SIZE - 1) - 1.0
+    ball = np.linalg.norm(centers, axis=-1) < radius
+    bf = np.zeros((cascades, GRID_SIZE ** 3), bool)
+    bf[0] = ball.reshape(-1)
+    return jnp.asarray(bf)
+
+
 def init_occupancy(bound):
     cas = num_cascades(bound)
     return OccupancyState(

@@ -42,7 +42,11 @@ from enerf_tpu.data.rays import get_rays_full
 
 
 class Trainer:
-    def __init__(self, cfg, workspace=None, use_checkpoint=None, mesh=None):
+    def __init__(self, cfg, workspace=None, use_checkpoint=None, mesh=None,
+                 snapshot=True):
+        # snapshot=False: read-only uses of a trained workspace (offline
+        # render) must not overwrite its args.json / code_version.txt
+        # train-time provenance
         self.cfg = cfg
         self.mesh = mesh
         # multi-host: only process 0 writes files (logs, ckpts, tensorboard,
@@ -116,7 +120,7 @@ class Trainer:
         )
         os.makedirs(self.workspace, exist_ok=True)
         self.log_path = os.path.join(self.workspace, "log.txt")
-        if self.primary:
+        if self.primary and snapshot:
             with open(os.path.join(self.workspace, "args.json"), "w") as f:
                 json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
             # code provenance (role of the reference's full source-tree

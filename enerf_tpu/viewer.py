@@ -79,19 +79,36 @@ class GUIRenderer:
         self.downscale = 1.0
         self.spp = 0
         self._accum = None
+        self._seen_shapes = set()
         self.training = provider is not None
         import jax
         self._key = jax.random.PRNGKey(0)
 
     def train_steps(self, n=16):
-        """reference Trainer.train_gui: n training steps, returns mean loss."""
+        """reference Trainer.train_gui: n training steps, returns mean loss.
+
+        Keeps the occupancy grid live (the reference's train_gui calls
+        update_extra_state on the 16-step cadence, utils.py:833-836) and
+        invalidates the progressive-SPP accumulation so the preview shows
+        the UPDATED model instead of blending stale checkpoints forever
+        (reference gui.py sets need_update=True after training)."""
         import jax
+        tr = self.trainer
         losses = []
         for _ in range(n):
+            if tr.occupancy is not None and int(tr.state.step) % 16 == 0:
+                from enerf_tpu.render.occupancy import update_occupancy
+                self._key, ko = jax.random.split(self._key)
+                tr.occupancy = update_occupancy(
+                    tr.state.params, tr.static, tr.occupancy, ko,
+                    density_scale=tr.cfg.density_scale,
+                    density_thresh=tr.cfg.density_thresh,
+                )
             self._key, k1, k2 = jax.random.split(self._key, 3)
             batch = self.provider.train_step_batch(k1)
-            aux = self.trainer._step_fn(batch, k2)
+            aux = tr._step_fn(batch, k2)
             losses.append(float(aux["loss"]))
+        self.reset_view()  # model changed: restart SPP accumulation
         return float(np.mean(losses))
 
     def reset_view(self):
@@ -108,6 +125,11 @@ class GUIRenderer:
             W, H, self.cam.radius, self.cam.fovy
         ).intrinsics, H, W)
         dt_ms = (time.time() - t0) * 1000.0
+        # the first frame at a new resolution pays one-time XLA compile —
+        # excluding it from the budget keeps compile spikes from slamming
+        # downscale to the floor
+        compiled_shape = (H, W) in self._seen_shapes
+        self._seen_shapes.add((H, W))
 
         if self._accum is None or self._accum.shape[:2] != (H, W):
             self._accum = img
@@ -116,8 +138,9 @@ class GUIRenderer:
             self._accum = (self._accum * self.spp + img) / (self.spp + 1)
             self.spp += 1
 
-        # dynamic downscale in [1/4, 1] (gui.py:131-140)
-        if self.spp <= 1:
+        # dynamic downscale in [1/4, 1] (gui.py:131-140); only steady-state
+        # frames (shape already compiled) inform the controller
+        if self.spp <= 1 and compiled_shape:
             ratio = self.frame_budget_ms / max(dt_ms, 1e-3)
             self.downscale = float(
                 np.clip(self.downscale * math.sqrt(ratio), 0.25, 1.0)

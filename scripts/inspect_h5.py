@@ -52,7 +52,9 @@ def main(argv=None):
             k = min(args.n_vis, n)
             xs = np.asarray(f[prefix + "x"][:k])
             ys = np.asarray(f[prefix + "y"][:k])
-            ps = np.asarray(f[prefix + "p"][:k])
+            # widen BEFORE the {0,1} -> {-1,1} remap: uint8 0*2-1 wraps to
+            # 255 and every event would render positive
+            ps = np.asarray(f[prefix + "p"][:k]).astype(np.int16)
             H, W = int(ys.max()) + 1, int(xs.max()) + 1
             img = render_ev_accumulation(xs, ys, ps * 2 - 1 if ps.min() >= 0 else ps, H, W)
             cv2.imwrite(args.vis, img)

@@ -42,7 +42,7 @@ def timed(fn, *args, iters=10):
 def main(argv=None):
     sys.path.insert(0, "/root/repo")
     from enerf_tpu.models.field import FieldStatic, init_field_params, field_forward
-    from enerf_tpu.render.occupancy import init_occupancy, GRID_SIZE
+    from enerf_tpu.render.occupancy import ball_bitfield
     from enerf_tpu.render.march import (
         render_rays_march, march_rays, composite_from_march)
     from enerf_tpu.ops.aabb import near_far_from_aabb
@@ -69,12 +69,7 @@ def main(argv=None):
     )
     params = init_field_params(jax.random.PRNGKey(0), static)
     state, opt = init_train_state(params, lr0=1e-2, iters=10000)
-    occ = init_occupancy(1.0)
-    g = np.arange(GRID_SIZE)
-    xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
-    centers = 2.0 * np.stack([xs, ys, zs], -1) / (GRID_SIZE - 1) - 1.0
-    ball = np.linalg.norm(centers, axis=-1) < 0.48
-    bitfield = jnp.asarray(ball.reshape(1, -1))
+    bitfield = ball_bitfield()
 
     n = args.n_rays
     key = jax.random.PRNGKey(1)

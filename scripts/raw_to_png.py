@@ -41,9 +41,11 @@ def main():
             img8 = cv2.cvtColor(img8, cv2.COLOR_RGB2BGR)
         cv2.imwrite(os.path.join(outdir, name + ".png"), img8)
         lo, hi = float(raw.min()), float(raw.max())
-        spread = (raw - lo) / max(hi - lo, 1e-12) * 255.0
-        cv2.imwrite(os.path.join(outdirc, name + "_spread.png"),
-                    np.rint(spread).astype(np.uint8))
+        spread = np.rint(
+            (raw - lo) / max(hi - lo, 1e-12) * 255.0).astype(np.uint8)
+        if spread.ndim == 3 and spread.shape[-1] == 3:
+            spread = cv2.cvtColor(spread, cv2.COLOR_RGB2BGR)
+        cv2.imwrite(os.path.join(outdirc, name + "_spread.png"), spread)
     print(f"wrote {len(files)} pngs to {outdir}")
 
 

@@ -62,7 +62,8 @@ def main(argv=None):
     cfg = Config(**{k: v for k, v in cfg_dict.items()
                     if k in Config.__dataclass_fields__})
 
-    trainer = Trainer(cfg, workspace=args.model_dir, use_checkpoint=args.ckpt)
+    trainer = Trainer(cfg, workspace=args.model_dir, use_checkpoint=args.ckpt,
+                      snapshot=False)  # read-only: keep train provenance
 
     H = args.H or cfg.H
     W = args.W or cfg.W

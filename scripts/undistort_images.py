@@ -38,7 +38,12 @@ def build_maps(intr, H, W, model):
             _grid_pts(H, W), K, D, R=np.eye(3), P=Knew
         )
     else:
-        D = np.array([intr.get(k, 0.0) for k in ("k1", "k2", "p1", "p2")])
+        # OpenCV radtan order (k1, k2, p1, p2[, k3]) — include k3 when the
+        # calibration provides it (5-term model)
+        D = np.array([intr.get(k, 0.0)
+                      for k in ("k1", "k2", "p1", "p2", "k3")])
+        if intr.get("k3") is None:
+            D = D[:4]
         Knew, _ = cv2.getOptimalNewCameraMatrix(K, D, (W, H), 0)
         m1, m2 = cv2.initUndistortRectifyMap(K, D, np.eye(3), Knew, (W, H), cv2.CV_32FC1)
         pts = cv2.undistortPoints(_grid_pts(H, W), K, D, R=np.eye(3), P=Knew)
