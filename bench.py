@@ -49,15 +49,25 @@ def main(argv=None):
     from enerf_tpu.train import losses
     import argparse
 
+    # Defaults = the quality-gated fastest configuration (BENCH_NOTES.md
+    # r2d sweep: 226.7k ray-renders/s, 1.44x the calibrated anchor):
+    #   - 8 levels x 4 feats, grid_block=3 — halves the address-bound
+    #     per-sample gathers at equal output dim AND equal params/row;
+    #     quality gate: M_tex8 == M_tex (corrected PSNR/SSIM parity) on
+    #     the textured information-sufficient scene (quality_r2e)
+    #   - share_march=1 — one DDA march per event pair; quality gate:
+    #     B_share >= A_base at 3k iters (quality_r2b)
+    # The reference 16x2xblk4 shape: --num_levels 16 --level_dim 2
+    # --grid_block 4 --share_march 0 (158.9k, 1.01x).
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_rays", type=int, default=8192)
     ap.add_argument("--num_samples", type=int, default=32)
     ap.add_argument("--compact_frac", type=float, default=0.25)
-    ap.add_argument("--share_march", type=int, default=0)
-    ap.add_argument("--grid_block", type=int, default=4)
+    ap.add_argument("--share_march", type=int, default=1)
+    ap.add_argument("--grid_block", type=int, default=3)
     ap.add_argument("--fast_table_grad", type=int, default=0)
-    ap.add_argument("--num_levels", type=int, default=16)
-    ap.add_argument("--level_dim", type=int, default=2)
+    ap.add_argument("--num_levels", type=int, default=8)
+    ap.add_argument("--level_dim", type=int, default=4)
     ap.add_argument("--bf16_gather", type=int, default=0)
     args = ap.parse_args(argv)
 
