@@ -50,4 +50,22 @@ timeout 10800 python /root/repo/main.py \
   > /root/repo/output/quality_r2f/N_final.log 2>&1
 echo "=== N_final done (rc=$?) ==="
 grep "\[eval\]" /root/repo/output/quality_r2f/N_final.log | tail -3
+
+# The literal reference recipe (spiral1_enerf.txt): uniform fixed-step
+# sampling (cuda_ray=False), plain C-threshold pair loss, no negative
+# sampling — the configuration J_fixed showed breaks the mist plateau.
+# ~0.9 it/s -> 6k iters ~ 2h.
+echo "=== RUN N_fixed ==="
+timeout 9000 python /root/repo/main.py \
+  --mode synthetic --events 1 --event_only 1 --out_dim_color 1 \
+  --H 128 --W 128 --syn_frames 120 --syn_rich 2 --C_thres 0.2 \
+  --bound 1.0 --scale 1.0 --lr 0.005 --fovy 60 \
+  --fp16 --batch_size_evs 8192 --num_rays 8192 --num_steps 128 \
+  --val_idxs 10 --val_idxs 35 --val_idxs 60 --val_idxs 85 --val_idxs 110 \
+  --outdir /root/repo/output/quality_r2f --ckpt scratch --expname N_fixed \
+  --ff \
+  --iters 6000 --eval_interval 10 --ckpt_interval 20 --log_every 500 \
+  > /root/repo/output/quality_r2f/N_fixed.log 2>&1
+echo "=== N_fixed done (rc=$?) ==="
+grep "\[eval\]" /root/repo/output/quality_r2f/N_fixed.log | tail -3
 echo "ALL R2F DONE"
