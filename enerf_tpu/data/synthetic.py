@@ -192,12 +192,17 @@ def simulate_events(H=64, W=64, n_frames=40, C=0.2, radius=2.5, height=0.8,
           f"_fov{fovy_deg}_s{seed}_rich{int(rich)}_v1"
     cpath = os.path.join(cache_dir, key + ".npz")
     if os.path.exists(cpath):
-        z = np.load(cpath)
-        def pose_fn(t):
-            return circle_pose(t, radius, height, turns)
-        return {"events": z["events"], "frames": z["frames"],
-                "frame_ts": ts, "poses": poses, "intrinsics": intr,
-                "pose_fn": pose_fn, "C": C, "H": H, "W": W}
+        try:
+            z = np.load(cpath)
+            ev, fr = z["events"], z["frames"]
+
+            def pose_fn(t):
+                return circle_pose(t, radius, height, turns)
+            return {"events": ev, "frames": fr,
+                    "frame_ts": ts, "poses": poses, "intrinsics": intr,
+                    "pose_fn": pose_fn, "C": C, "H": H, "W": W}
+        except Exception:
+            pass  # partial write from a concurrent process: recompute
 
     frames = np.stack(
         [render_gt(circle_pose(t, radius, height, turns), intr, H, W,
@@ -236,7 +241,11 @@ def simulate_events(H=64, W=64, n_frames=40, C=0.2, radius=2.5, height=0.8,
 
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        np.savez_compressed(cpath, events=ev, frames=frames)
+        # atomic publish: concurrent test workers may race on the cache
+        tmp = cpath + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, events=ev, frames=frames)
+        os.replace(tmp, cpath)
     except OSError:
         pass  # cache is best-effort
 
