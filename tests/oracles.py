@@ -90,7 +90,7 @@ def march_oracle(ro, rd, bitfield, near, far, bound, cascades, max_steps=1024,
         e = math.frexp(v)[1]
         return min(cascades - 1, max(0, e))
 
-    ts_out, dts_out, valid_out = [], [], []
+    ts_out, dts_out = [], []
     t = near
     steps = 0
     while t < far and len(ts_out) < num_samples and steps < 100000:
@@ -104,13 +104,16 @@ def march_oracle(ro, rd, bitfield, near, far, bound, cascades, max_steps=1024,
         if bitfield.reshape(-1)[cell]:
             ts_out.append(t)
             dts_out.append(dt)
-            valid_out.append(True)
             t += dt
         else:
             with np.errstate(divide="ignore", invalid="ignore"):
                 nb = (((n + 0.5 + 0.5 * np.sign(rd)) / (H - 1) * 2 - 1) * mb - pos) / rd
             nb = np.where(np.isnan(nb), np.inf, nb)
             tt = t + max(0.0, nb.min())
+            # do-while semantics (raymarching.cu:397-399): ALWAYS advance
+            # at least one dt, else a ray sitting exactly on a voxel
+            # boundary (tt == t) spins to the step cap with no progress
+            t += dt
             while t < tt:
                 t += dt
     return np.asarray(ts_out), np.asarray(dts_out)

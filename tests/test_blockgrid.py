@@ -80,6 +80,20 @@ def test_block_encode_exact_at_cell_corners():
     ref = oracle_encode(x01.astype(np.float32), np.asarray(table), meta)
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
+    # independent of the oracle (a shared addressing bug would fool the
+    # comparison above): at frac == 0 the encoding must equal the STORED
+    # table entry at the addressed row/cell, computed here from scratch
+    B, HA, RC, C = meta.block, meta.halo, meta.row_cells, meta.level_dim
+    assert not meta.hashed[0], "corner test assumes the dense level"
+    pg = x.astype(np.int64)  # pos = x01*scale + 0.5 == x exactly
+    b, lo = pg // B, pg % B
+    nb = int(meta.nbs[0])
+    rid = ((b[:, 0] * nb + b[:, 1]) * nb + b[:, 2]) + int(meta.offsets[0])
+    p = (lo[:, 0] * HA + lo[:, 1]) * HA + lo[:, 2]
+    tab = np.asarray(table)
+    expect = np.stack([tab[rid, c * RC + p] for c in range(C)], -1)
+    np.testing.assert_allclose(out.reshape(len(x), C), expect, atol=1e-7)
+
 
 def test_block_encode_grads_flow():
     meta = small_meta()

@@ -84,9 +84,13 @@ def test_window_centers_and_rectify(sim, tmp_path):
         sl = EventSlicer(f)
         out, fids = slice_events_per_frame(sl, ts_us, rmap)
     assert out.shape[0] > 0
-    # undistorted coords = original + 0.25
-    m = (out[:, 0] * 4) % 1
-    np.testing.assert_allclose(np.unique(np.round(m, 3)), [0.0], atol=1e-3)
+    # undistorted coords = original + 0.25: the FRACTIONAL part must be
+    # exactly 0.25 (integer-x would also satisfy a mod-0.25 check, which
+    # made the old assertion pass even with the rectify map ignored)
+    np.testing.assert_allclose(np.unique(np.round(out[:, 0] % 1.0, 3)),
+                               [0.25], atol=1e-3)
+    np.testing.assert_allclose(np.unique(np.round(out[:, 1] % 1.0, 3)),
+                               [0.25], atol=1e-3)
 
 
 def test_eds_provider_with_stereo_views(sim, tmp_path_factory):

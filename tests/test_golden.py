@@ -240,13 +240,14 @@ def _cu_get_grid_index(gridtype_hash, hashmap_size, resolution, pos_grid):
     index = 0
     d = 0
     while d < 3 and stride <= hashmap_size:
-        index += pos_grid[d] * stride
-        index &= 0xFFFFFFFFFFFFFFFF
-        stride *= resolution + 1
+        # uint32 arithmetic throughout (gridencoder.cu declares index AND
+        # stride uint32_t) — the wrap point matters for large tiled grids
+        index = (index + pos_grid[d] * stride) & 0xFFFFFFFF
+        stride = (stride * (resolution + 1)) & 0xFFFFFFFF
         d += 1
     if gridtype_hash and stride > hashmap_size:
         index = _cu_fast_hash(pos_grid)
-    return (index % hashmap_size) & 0xFFFFFFFF
+    return index % hashmap_size
 
 
 def test_hash_index_scalar_cases():

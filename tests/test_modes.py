@@ -126,7 +126,7 @@ def test_clip_guided_training_reduces_clip_loss():
     )
 
 
-def test_three_backbones_distinct():
+def test_three_backbones_distinct(tmp_path):
     """--ff / --tcnn / vanilla select three distinct backbones (mutual
     oracles, reference network.py / network_ff.py / network_tcnn.py)."""
     from enerf_tpu.config import build_config
@@ -136,7 +136,7 @@ def test_three_backbones_distinct():
         cfg = build_config(["--mode", "synthetic", "--H", "16", "--W", "16",
                             "--syn_frames", "4", "--iters", "1",
                             "--num_rays", "32", "--cuda_ray",
-                            "--outdir", "/tmp/backbones", "--ckpt", "scratch",
+                            "--outdir", str(tmp_path), "--ckpt", "scratch",
                             *extra])
         return Trainer(cfg).static
 

@@ -95,18 +95,11 @@ print(f"worker {pid} ok loss={loss:.6f}", flush=True)
 
 @pytest.mark.skipif(os.environ.get("ENERF_SKIP_MULTIPROC") == "1",
                     reason="multiprocess test disabled")
-def test_two_process_multihost(tmp_path):
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
-    script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
+def _run_workers(script, port):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env.update(ENERF_REPO=repo, COORD=f"127.0.0.1:{port}")
-
     procs = [
         subprocess.Popen([sys.executable, str(script), str(pid)], env=env,
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -122,6 +115,22 @@ def test_two_process_multihost(tmp_path):
                 q.kill()
             pytest.fail("multiprocess worker timed out")
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_multihost(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    # free-port discovery is inherently TOCTOU (the coordinator re-binds
+    # the probed port moments later) — retry once with a fresh port if the
+    # first attempt loses the race
+    for attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs, outs = _run_workers(script, port)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid} ok" in out
