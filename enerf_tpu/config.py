@@ -128,6 +128,10 @@ class Config:
                                 # off — measured slower on v5e, the gather
                                 # is address-rate bound; 1: opt in.
                                 # ops/blockgrid.block_encode_bf16)
+    w_distortion: float = 0.0   # mip-NeRF-360 distortion regularizer on
+                                # event-ray sample weights (march path) —
+                                # collapses the diffuse-mist density mode
+                                # (train/step.py distortion_loss). 0 = off.
     w_opacity: float = 0.0      # opacity binary-entropy regularizer on
                                 # event rays (BEYOND reference — breaks the
                                 # transparent-mist gauge mode of

@@ -231,6 +231,7 @@ def march_rays(
 def composite_from_march(
     params, static, rays_o, rays_d, ts, dts, valid, nears, fars,
     *, bg_color=1.0, density_scale=1.0, compact_frac=None,
+    return_weights=False,
 ):
     """Field evaluation + compositing for precomputed march samples.
 
@@ -297,19 +298,25 @@ def composite_from_march(
     depth = jnp.clip(depth_t - near_safe, 0.0, None) / jnp.maximum(
         far_safe - near_safe, 1e-6
     )
-    return {"image": image, "depth": depth, "weights_sum": weights_sum}
+    out = {"image": image, "depth": depth, "weights_sum": weights_sum}
+    if return_weights:
+        # per-sample terms for ray regularizers (e.g. distortion loss);
+        # gated so jit-boundary callers (eval) don't materialize [N, S]
+        out["weights"], out["ts"], out["dts"] = weights, ts, dts
+    return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("static", "num_samples", "max_steps", "perturb",
-                     "min_near", "density_scale", "dt_gamma", "compact_frac"),
+                     "min_near", "density_scale", "dt_gamma", "compact_frac",
+                     "return_weights"),
 )
 def render_rays_march(
     params, static, occ_bitfield, rays_o, rays_d,
     *, num_samples=64, max_steps=1024, bg_color=1.0, perturb=False,
     rng=None, min_near=0.2, density_scale=1.0, dt_gamma=0.0,
-    compact_frac=None,
+    compact_frac=None, return_weights=False,
 ):
     """Occupancy-march render (the reference's cuda_ray path, TPU-native).
 
@@ -339,5 +346,5 @@ def render_rays_march(
     return composite_from_march(
         params, static, rays_o, rays_d, ts, dts, valid, nears, fars,
         bg_color=bg_color, density_scale=density_scale,
-        compact_frac=compact_frac,
+        compact_frac=compact_frac, return_weights=return_weights,
     )

@@ -57,6 +57,29 @@ class StepStatics(NamedTuple):
     # opaque, breaking the transparent-mist gauge mode of consecutive-pair
     # event supervision (ROUND2_STATUS.md).  0 disables.
     w_opacity: float = 0.0
+    # mip-NeRF-360-style distortion regularizer on event-ray sample
+    # weights (BEYOND the reference): penalizes weight mass spread along
+    # the ray, collapsing the diffuse-mist density the opacity regularizer
+    # could not break (ROUND2_STATUS.md "mist gauge mode").  0 disables.
+    w_distortion: float = 0.0
+
+
+def distortion_loss(weights, ts, dts):
+    """mip-NeRF 360 eq. 15 on sorted samples, O(S):
+
+    L = sum_ij w_i w_j |t_i - t_j| + (1/3) sum_i w_i^2 dt_i
+      = 2 sum_i w_i (t_i W_<i - S_<i) + (1/3) sum_i w_i^2 dt_i
+
+    weights/ts/dts: [N, S] (ts ascending per ray; invalid slots must carry
+    weight 0).  Returns the per-batch mean.
+    """
+    cw = jnp.cumsum(weights, axis=-1)
+    cwt = jnp.cumsum(weights * ts, axis=-1)
+    w_before = cw - weights
+    s_before = cwt - weights * ts
+    cross = 2.0 * jnp.sum(weights * (ts * w_before - s_before), axis=-1)
+    self_term = jnp.sum(weights * weights * dts, axis=-1) / 3.0
+    return jnp.mean(cross + self_term)
 
 
 def _render_pair_shared(params, ss, o1, d1, o2, d2, bg, rng, occ):
@@ -79,6 +102,7 @@ def _render_pair_shared(params, ss, o1, d1, o2, d2, bg, rng, occ):
             params, fs, o, d, ts, dts, valid, nears, fars,
             bg_color=bg, density_scale=ss.density_scale,
             compact_frac=ss.compact_frac,
+            return_weights=ss.w_distortion > 0.0,
         )
         for o, d in ((o1, d1), (o2, d2))
     )
@@ -94,6 +118,7 @@ def _render(params, ss, rays_o, rays_d, bg, rng, occ_bitfield=None):
             bg_color=bg, perturb=True, rng=rng, min_near=ss.min_near,
             density_scale=ss.density_scale, dt_gamma=ss.dt_gamma,
             compact_frac=ss.compact_frac,
+            return_weights=ss.w_distortion > 0.0,
         )
     return render_rays(
         params, ss.field_static, rays_o, rays_d,
@@ -152,6 +177,13 @@ def event_loss_fn(params, ss, batch, rng, occ=None):
         (f"implC_{k}", jax.lax.stop_gradient(v))
         for k, v in losses.estimate_implicit_C(pol, delta).items()
     )
+
+    if ss.w_distortion > 0.0 and "weights" in out1:
+        l_dist = ss.w_distortion * 0.5 * (
+            distortion_loss(out1["weights"], out1["ts"], out1["dts"])
+            + distortion_loss(out2["weights"], out2["ts"], out2["dts"]))
+        loss = loss + l_dist
+        aux["loss_distortion"] = l_dist
 
     if ss.w_opacity > 0.0 and "weights_sum" in out1:
         ws = jnp.concatenate([out1["weights_sum"], out2["weights_sum"]])

@@ -100,6 +100,7 @@ class Trainer:
             compact_frac=cfg.compact_frac,
             share_march=bool(cfg.share_march),
             w_opacity=cfg.w_opacity,
+            w_distortion=cfg.w_distortion,
         )
         # rand-pose CLIP guidance (reference main_nerf.py:183 + clip_utils,
         # wired for real here — see train/clip_guidance.py)

@@ -126,3 +126,70 @@ def test_opacity_regularizer_pushes_extremes():
         p, StepStatics(**kw, w_opacity=0.1), batch,
         jax.random.PRNGKey(2), occ)[0])(params)
     assert float(jnp.abs(gr["hash_table"]).max()) > 0.0
+
+
+def test_distortion_loss_matches_quadratic_oracle():
+    """distortion_loss's O(S) cumulative form equals the naive O(S^2)
+    mip-NeRF 360 eq. 15 double sum."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from enerf_tpu.train.step import distortion_loss
+
+    rng = np.random.RandomState(3)
+    N, S = 7, 12
+    ts = np.sort(rng.uniform(0.1, 2.0, (N, S)), axis=-1)
+    dts = np.abs(rng.uniform(0.01, 0.05, (N, S)))
+    w = rng.uniform(0, 1, (N, S))
+    w[:, -3:] = 0.0  # invalid slots carry zero weight
+    got = float(distortion_loss(jnp.asarray(w), jnp.asarray(ts),
+                                jnp.asarray(dts)))
+    cross = np.einsum("ni,nj,nij->n", w, w,
+                      np.abs(ts[:, :, None] - ts[:, None, :]))
+    ref = float(np.mean(cross + (w * w * dts).sum(-1) / 3.0))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_distortion_regularizer_wired():
+    """w_distortion adds the term on the march path (mist countermeasure);
+    gradient flows; eval/no-flag paths don't materialize weights."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from enerf_tpu.models.field import FieldStatic, init_field_params
+    from enerf_tpu.train.step import StepStatics, event_loss_fn
+    from enerf_tpu.render.occupancy import ball_bitfield
+
+    static = FieldStatic(bound=1.0, out_dim_color=1, num_levels=4,
+                         log2_hashmap_size=10, encoding="blockgrid")
+    params = init_field_params(jax.random.PRNGKey(0), static)
+    occ = ball_bitfield(radius=0.5)
+
+    n = 32
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (n, 1))
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (n, 3),
+                             minval=-0.3, maxval=0.3)
+    d = tgt - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {"rays_evs_o1": o, "rays_evs_d1": d,
+             "rays_evs_o2": o + 0.01, "rays_evs_d2": d,
+             "pols": jnp.ones((n,), jnp.float32)}
+    kw = dict(field_static=static, num_steps=16, upsample_steps=0,
+              min_near=0.2, density_scale=1.0, C_thres=0.2, event_only=True,
+              use_luma=False, linlog=True, weight_loss_rgb=1.0,
+              negative_event_sampling=False, w_no_ev=1.0, out_dim_color=1,
+              use_march=True, march_samples=8, max_steps=128,
+              compact_frac=0.5)
+    for share in (False, True):
+        l0, a0 = event_loss_fn(
+            params, StepStatics(**kw, share_march=share), batch,
+            jax.random.PRNGKey(2), occ)
+        l1, a1 = event_loss_fn(
+            params, StepStatics(**kw, share_march=share, w_distortion=0.01),
+            batch, jax.random.PRNGKey(2), occ)
+        assert "loss_distortion" not in a0
+        assert "loss_distortion" in a1 and float(a1["loss_distortion"]) >= 0
+        gr = jax.grad(lambda p: event_loss_fn(
+            p, StepStatics(**kw, share_march=share, w_distortion=0.01),
+            batch, jax.random.PRNGKey(2), occ)[0])(params)
+        assert float(jnp.abs(gr["hash_table"]).max()) > 0.0
