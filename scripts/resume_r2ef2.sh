@@ -33,6 +33,10 @@ run M_texwarm8 5400 --ff --share_march 1 --negative_event_sampling 1 \
 run M_texbias 5400 --ff --share_march 1 --negative_event_sampling 1 \
   --density_bias 3.0 \
   --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
+# distortion regularizer arm (anti-mist; mip-NeRF-360 eq.15, --w_distortion)
+run M_texdist 5400 --ff --share_march 1 --negative_event_sampling 1 \
+  --march_warmup 2000 --num_steps 128 --w_distortion 0.002 \
+  --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
 echo "ALL R2E DONE"
 
 echo "=== RUN N_final ==="
