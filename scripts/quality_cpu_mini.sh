@@ -18,7 +18,8 @@ COMMON="--mode synthetic --events 1 --event_only 1 --out_dim_color 1
 run() {
   name=$1; shift
   echo "=== RUN $name: $* ==="
-  ENERF_PLATFORM=cpu timeout 4800 python /root/repo/main.py $COMMON \
+  ENERF_PLATFORM=cpu ENERF_TPU_INTERPRET=1 timeout 4800 \
+    python /root/repo/main.py $COMMON \
     --expname "$name" "$@" > "$OUT/$name.log" 2>&1
   echo "=== $name done (rc=$?) ==="
   grep "\[eval\]" "$OUT/$name.log" | tail -1
