@@ -19,6 +19,7 @@ derivation chain is recorded in that file.  Prints ONE JSON line.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -40,7 +41,23 @@ def _baseline_anchor():
 BASELINE_RAYS_S = _baseline_anchor()
 
 
+def _tpu_relay_alive(port=8083):
+    """The axon TPU plugin reaches the chip through a local relay; if the
+    relay is down, jax hangs at first compile.  Fail fast instead."""
+    import socket
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=3):
+            return True
+    except OSError:
+        return False
+
+
 def main(argv=None):
+    if os.environ.get("JAX_PLATFORMS", "axon") == "axon" \
+            and not _tpu_relay_alive():
+        print("bench: TPU relay (127.0.0.1:8083) is down — refusing to "
+              "hang on a dead tunnel", file=sys.stderr)
+        raise SystemExit(2)
     from enerf_tpu.models.field import FieldStatic, init_field_params
     from enerf_tpu.render.occupancy import init_occupancy, update_occupancy
     from enerf_tpu.render.march import render_rays_march, march_rays, composite_from_march
