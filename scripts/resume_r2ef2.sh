@@ -1,10 +1,27 @@
 #!/bin/bash
-# Relaunch of the remaining round-2e/2f queue after the TPU tunnel outage
-# (M_tex8 completed; M_texbias crashed mid-outage, M_texwarm never started).
+# Relaunch of the remaining round-2e/2f queue after the TPU tunnel outage.
+# REORDERED for a late tunnel return: the round's headline deliverable
+# (N_final long run) goes FIRST; gate/ablation arms follow as time allows.
 set -u
 OUT=/root/repo/output/quality_r2e
-mkdir -p "$OUT"
+mkdir -p "$OUT" /root/repo/output/quality_r2f
 cd /root/repo
+
+echo "=== RUN N_final ==="
+timeout 10800 python /root/repo/main.py \
+  --mode synthetic --events 1 --event_only 1 --out_dim_color 1 \
+  --H 128 --W 128 --syn_frames 120 --syn_rich 2 --C_thres 0.2 \
+  --bound 1.0 --scale 1.0 --lr 0.005 --fovy 60 \
+  --cuda_ray --fp16 --batch_size_evs 8192 --num_rays 8192 \
+  --march_samples 32 --compact_frac 0.5 --max_steps 1024 --num_steps 128 \
+  --val_idxs 10 --val_idxs 35 --val_idxs 60 --val_idxs 85 --val_idxs 110 \
+  --outdir /root/repo/output/quality_r2f --ckpt scratch --expname N_final \
+  --ff --share_march 1 --negative_event_sampling 1 \
+  --march_warmup 2000 \
+  --iters 12000 --eval_interval 20 --ckpt_interval 20 --log_every 500 \
+  > /root/repo/output/quality_r2f/N_final.log 2>&1
+echo "=== N_final done (rc=$?) ==="
+grep "\[eval\]" /root/repo/output/quality_r2f/N_final.log | tail -3
 
 COMMON="--mode synthetic --events 1 --event_only 1 --out_dim_color 1
   --H 128 --W 128 --syn_frames 120 --syn_rich 2 --C_thres 0.2
@@ -23,42 +40,26 @@ run() {
   grep "\[eval\]" "$OUT/$name.log" | tail -2
 }
 
-run M_texwarm 5400 --ff --share_march 1 --negative_event_sampling 1 \
-  --march_warmup 2000 --num_steps 128 \
-  --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
+# bench-default-flip confirmation gate under the warmup schedule
 run M_texwarm8 5400 --ff --share_march 1 --negative_event_sampling 1 \
   --num_levels 8 --level_dim 4 --grid_block 3 --march_warmup 2000 \
   --num_steps 128 \
   --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
-run M_texbias 5400 --ff --share_march 1 --negative_event_sampling 1 \
-  --density_bias 3.0 \
+run M_texwarm 5400 --ff --share_march 1 --negative_event_sampling 1 \
+  --march_warmup 2000 --num_steps 128 \
   --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
-# distortion regularizer arm (anti-mist; mip-NeRF-360 eq.15, --w_distortion)
+# distortion regularizer arm (anti-mist; mip-NeRF-360 eq.15)
 run M_texdist 5400 --ff --share_march 1 --negative_event_sampling 1 \
   --march_warmup 2000 --num_steps 128 --w_distortion 0.002 \
   --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
+run M_texbias 5400 --ff --share_march 1 --negative_event_sampling 1 \
+  --density_bias 3.0 \
+  --iters 3000 --eval_interval 10 --ckpt_interval 10 --log_every 200
 echo "ALL R2E DONE"
-
-echo "=== RUN N_final ==="
-timeout 10800 python /root/repo/main.py \
-  --mode synthetic --events 1 --event_only 1 --out_dim_color 1 \
-  --H 128 --W 128 --syn_frames 120 --syn_rich 2 --C_thres 0.2 \
-  --bound 1.0 --scale 1.0 --lr 0.005 --fovy 60 \
-  --cuda_ray --fp16 --batch_size_evs 8192 --num_rays 8192 \
-  --march_samples 32 --compact_frac 0.5 --max_steps 1024 --num_steps 128 \
-  --val_idxs 10 --val_idxs 35 --val_idxs 60 --val_idxs 85 --val_idxs 110 \
-  --outdir /root/repo/output/quality_r2f --ckpt scratch --expname N_final \
-  --ff --share_march 1 --negative_event_sampling 1 \
-  --march_warmup 2000 \
-  --iters 12000 --eval_interval 20 --ckpt_interval 20 --log_every 500 \
-  > /root/repo/output/quality_r2f/N_final.log 2>&1
-echo "=== N_final done (rc=$?) ==="
-grep "\[eval\]" /root/repo/output/quality_r2f/N_final.log | tail -3
 
 # The literal reference recipe (spiral1_enerf.txt): uniform fixed-step
 # sampling (cuda_ray=False), plain C-threshold pair loss, no negative
 # sampling — the configuration J_fixed showed breaks the mist plateau.
-# ~0.9 it/s -> 6k iters ~ 2h.
 echo "=== RUN N_fixed ==="
 timeout 9000 python /root/repo/main.py \
   --mode synthetic --events 1 --event_only 1 --out_dim_color 1 \
