@@ -132,6 +132,13 @@ class Config:
                                 # event-ray sample weights (march path) —
                                 # collapses the diffuse-mist density mode
                                 # (train/step.py distortion_loss). 0 = off.
+    remat_fixed: int = 0        # rematerialize the fixed-step renderer in
+                                # backward (jax.checkpoint) — ~4x lower AD
+                                # residual memory per step at one extra
+                                # forward per render.  march_warmup phases
+                                # enable this automatically
+                                # (train/step.warm_statics); set 1 to force
+                                # it for pure fixed-step runs that OOM.
     w_opacity: float = 0.0      # opacity binary-entropy regularizer on
                                 # event rays (BEYOND reference — breaks the
                                 # transparent-mist gauge mode of

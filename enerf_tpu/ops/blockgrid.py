@@ -227,8 +227,16 @@ def block_encode(x01, table, meta, point_chunk=1 << 16):
         n_chunks = -(-N // point_chunk)
         pad = n_chunks * point_chunk - N
         xp = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], 0)
+        # Rematerialize the chunk body: scan AD otherwise STACKS each
+        # chunk's trilinear-weight tensor W ([chunk, L, 125] f32) as a
+        # saved residual — [n_chunks, 65536, L, 125] is 7.8 GB at the
+        # fixed-step renderer's 1M-point load (measured OOM on v5e).
+        # W is pure VPU math from xc (no gathers), and the table-VJP is
+        # the transpose of the linear gather, so the recompute costs no
+        # HBM traffic.  The single-chunk hot path (march, compacted to
+        # <= point_chunk) is untouched.
         out = jax.lax.map(
-            lambda xc: _encode_chunk(xc, table, meta),
+            jax.checkpoint(lambda xc: _encode_chunk(xc, table, meta)),
             xp.reshape(n_chunks, point_chunk, 3),
         ).reshape(n_chunks * point_chunk, L, C)[:N]
 

@@ -62,6 +62,15 @@ class StepStatics(NamedTuple):
     # the ray, collapsing the diffuse-mist density the opacity regularizer
     # could not break (ROUND2_STATUS.md "mist gauge mode").  0 disables.
     w_distortion: float = 0.0
+    # rematerialize the fixed-step renderer in backward (jax.checkpoint):
+    # at num_steps=128+ every fixed-step render holds ~[N*S, L*C]-sized AD
+    # residuals, and the event loss can issue FOUR of them (event pair +
+    # negative pair) — 4 concurrent residual sets OOM a 16 GB chip at the
+    # production batch.  Remat trades one extra forward per render for
+    # peak memory of ONE residual set.  Auto-enabled for march_warmup
+    # phases (warm_statics); --remat_fixed forces it for pure fixed-step
+    # runs.
+    remat_fixed: bool = False
 
 
 def distortion_loss(weights, ts, dts):
@@ -120,12 +129,24 @@ def _render(params, ss, rays_o, rays_d, bg, rng, occ_bitfield=None):
             compact_frac=ss.compact_frac,
             return_weights=ss.w_distortion > 0.0,
         )
-    return render_rays(
-        params, ss.field_static, rays_o, rays_d,
-        num_steps=ss.num_steps, upsample_steps=ss.upsample_steps,
-        bg_color=bg, perturb=True, rng=rng, train=True,
-        min_near=ss.min_near, density_scale=ss.density_scale,
-    )
+    def _fixed(params, rays_o, rays_d, bg, rng):
+        return render_rays(
+            params, ss.field_static, rays_o, rays_d,
+            num_steps=ss.num_steps, upsample_steps=ss.upsample_steps,
+            bg_color=bg, perturb=True, rng=rng, train=True,
+            min_near=ss.min_near, density_scale=ss.density_scale,
+        )
+
+    if ss.remat_fixed:
+        _fixed = jax.checkpoint(_fixed)
+    return _fixed(params, rays_o, rays_d, bg, rng)
+
+
+def warm_statics(ss):
+    """StepStatics for a march_warmup phase: uniform fixed-step sampling
+    (march + share off) with the renderer rematerialized — the warm
+    program is the peak-memory shape (see StepStatics.remat_fixed)."""
+    return ss._replace(use_march=False, share_march=False, remat_fixed=True)
 
 
 def frames_loss_fn(params, ss, batch, rng, occ=None):

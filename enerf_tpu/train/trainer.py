@@ -101,6 +101,7 @@ class Trainer:
             share_march=bool(cfg.share_march),
             w_opacity=cfg.w_opacity,
             w_distortion=cfg.w_distortion,
+            remat_fixed=bool(getattr(cfg, "remat_fixed", 0)),
         )
         # rand-pose CLIP guidance (reference main_nerf.py:183 + clip_utils,
         # wired for real here — see train/clip_guidance.py)
@@ -212,8 +213,8 @@ class Trainer:
         mesh per-step path, not only the fused-chunk path)."""
         if warm not in self._sharded_steps:
             from enerf_tpu.parallel.mesh import make_sharded_train_step
-            ss = (self.ss._replace(use_march=False, share_march=False)
-                  if warm else self.ss)
+            from enerf_tpu.train.step import warm_statics
+            ss = warm_statics(self.ss) if warm else self.ss
             self._sharded_steps[warm] = make_sharded_train_step(
                 ss, self.opt, self.mesh,
                 mode="events" if self.cfg.events else "frames")
@@ -221,8 +222,8 @@ class Trainer:
 
     def _step_fn(self, batch, rng, warm=False):
         occ = self.occupancy.occ_bitfield if self.occupancy is not None else None
-        ss = (self.ss._replace(use_march=False, share_march=False)
-              if warm else self.ss)
+        from enerf_tpu.train.step import warm_statics
+        ss = warm_statics(self.ss) if warm else self.ss
         if "rand_pose_side" in batch:
             from enerf_tpu.train.step import train_step_clip
             assert self.clip_guidance is not None, (
@@ -361,9 +362,8 @@ class Trainer:
                     # warm: uniform fixed-step warmup windows (march off,
                     # cfg.march_warmup) — carve geometry before the march's
                     # occupancy feedback can lock in the mist mode
-                    ss = (self.ss._replace(use_march=False,
-                                           share_march=False)
-                          if warm else self.ss)
+                    from enerf_tpu.train.step import warm_statics
+                    ss = warm_statics(self.ss) if warm else self.ss
                     ck = (mode, tuple(sorted(statics.items())), chunk_len,
                           self.mesh is not None, warm)
                     if ck not in self._chunk_cache:

@@ -224,3 +224,51 @@ def test_density_bias_opaque_init():
             sb = np.asarray(field_density(params, stb, x)[0])
         ratio = np.median(sb / np.maximum(s0, 1e-12))
         np.testing.assert_allclose(ratio, np.exp(3.0), rtol=0.05)
+
+
+def test_remat_fixed_grads_match():
+    """warm_statics remats the fixed-step renderer (jax.checkpoint) to cut
+    the warm program's peak AD-residual memory ~4x (the event loss issues
+    four fixed-step renders with negative sampling on, which OOMed a 16 GB
+    chip at the production batch).  Remat must not change the math: loss
+    and every parameter gradient match the non-remat step."""
+    from enerf_tpu.train.step import event_loss_fn, warm_statics
+
+    static = tiny_static(out_dim_color=1)
+    params = init_field_params(jax.random.PRNGKey(3), static)
+    ss = StepStatics(
+        field_static=static, num_steps=24, upsample_steps=0, min_near=0.2,
+        density_scale=1.0, C_thres=0.2, event_only=True,
+        use_luma=False, linlog=True, weight_loss_rgb=1.0,
+        negative_event_sampling=True, w_no_ev=1.0, out_dim_color=1,
+    )
+    ssw = warm_statics(ss)
+    assert ssw.remat_fixed and not ssw.use_march and not ssw.share_march
+
+    key = jax.random.PRNGKey(11)
+    ko, kd, kr = jax.random.split(key, 3)
+    N = 64
+    d = jax.random.normal(kd, (2 * N, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (2 * N, 1))
+    o = o + 0.01 * jax.random.normal(ko, (2 * N, 3))
+    batch = {
+        "rays_evs_o1": o[:N], "rays_evs_d1": d[:N],
+        "rays_evs_o2": o[:N] + 0.005, "rays_evs_d2": d[:N],
+        "pols": jnp.where(jnp.arange(N) % 2 == 0, 1.0, -1.0),
+        "rays_no_evs_o1": o[N:], "rays_no_evs_d1": d[N:],
+        "rays_no_evs_o2": o[N:] + 0.005, "rays_no_evs_d2": d[N:],
+    }
+
+    def run(s):
+        (loss, _), grads = jax.value_and_grad(event_loss_fn, has_aux=True)(
+            params, s, batch, kr)
+        return loss, grads
+
+    loss0, g0 = run(ss)
+    loss1, g1 = run(ssw)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8),
+        g0, g1)
