@@ -133,7 +133,7 @@ def block_table_grad_pallas(rid, meta, n_levels, rows_max=8192, halo=HALO,
             pl.BlockSpec((1, CHUNK, 8), lambda l, j: (l, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.VMEM((rows_max, width), jnp.float32),
                         pltpu.VMEM((CHUNK, width), jnp.float32),
                         pltpu.SemaphoreType.DMA],
