@@ -134,11 +134,13 @@ class Config:
                                 # (train/step.py distortion_loss). 0 = off.
     remat_fixed: int = 0        # rematerialize the fixed-step renderer in
                                 # backward (jax.checkpoint) — ~4x lower AD
-                                # residual memory per step at one extra
-                                # forward per render.  march_warmup phases
-                                # enable this automatically
-                                # (train/step.warm_statics); set 1 to force
-                                # it for pure fixed-step runs that OOM.
+                                # residual memory per step.  0 = off
+                                # (march_warmup phases still auto-enable
+                                # full remat, train/step.warm_statics);
+                                # 1 = full remat (backward re-runs the
+                                # encode gathers); 2 = save-encode policy
+                                # (keeps the encode output, skips the
+                                # gather re-run — faster when it fits).
     w_opacity: float = 0.0      # opacity binary-entropy regularizer on
                                 # event rays (BEYOND reference — breaks the
                                 # transparent-mist gauge mode of

@@ -257,6 +257,11 @@ def field_density(params, static, x):
     # bound (bf16 rows measured SLOWER once the cast overhead is counted,
     # BENCH_NOTES.md r2d) and the backward scatter-add accumulates in f32
     enc = _encode(params, static, x01)
+    # names the encode output for jax.checkpoint save_only_these_names
+    # policies (train/step.py remat_fixed=2: backward keeps this ~[N, L*C]
+    # activation instead of re-running the address-bound gathers)
+    from jax.ad_checkpoint import checkpoint_name
+    enc = checkpoint_name(enc, "encode_out")
     h = _mlp(params, "sigma", static.num_layers, enc, static.compute_dtype)
     # density_bias shifts the logit so the INITIAL field can be opaque
     # (sigma0 ~ e^bias).  The reference's enerf configs get an opaque start

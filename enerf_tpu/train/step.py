@@ -69,8 +69,11 @@ class StepStatics(NamedTuple):
     # production batch.  Remat trades one extra forward per render for
     # peak memory of ONE residual set.  Auto-enabled for march_warmup
     # phases (warm_statics); --remat_fixed forces it for pure fixed-step
-    # runs.
-    remat_fixed: bool = False
+    # runs.  Modes: 0 = off, 1 = full remat (backward re-runs the encode
+    # gathers), 2 = save-encode policy (keeps the [N, L*C] encode output,
+    # ~64 MB bf16 at 1M points, so backward skips the gather re-run —
+    # faster than 1 when it fits).
+    remat_fixed: int = 0
 
 
 def distortion_loss(weights, ts, dts):
@@ -137,7 +140,13 @@ def _render(params, ss, rays_o, rays_d, bg, rng, occ_bitfield=None):
             min_near=ss.min_near, density_scale=ss.density_scale,
         )
 
-    if ss.remat_fixed:
+    if ss.remat_fixed == 2:
+        _fixed = jax.checkpoint(
+            _fixed,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "encode_out"),
+        )
+    elif ss.remat_fixed:
         _fixed = jax.checkpoint(_fixed)
     return _fixed(params, rays_o, rays_d, bg, rng)
 
@@ -146,7 +155,8 @@ def warm_statics(ss):
     """StepStatics for a march_warmup phase: uniform fixed-step sampling
     (march + share off) with the renderer rematerialized — the warm
     program is the peak-memory shape (see StepStatics.remat_fixed)."""
-    return ss._replace(use_march=False, share_march=False, remat_fixed=True)
+    return ss._replace(use_march=False, share_march=False,
+                       remat_fixed=max(int(ss.remat_fixed), 1))
 
 
 def frames_loss_fn(params, ss, batch, rng, occ=None):

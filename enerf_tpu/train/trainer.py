@@ -101,7 +101,7 @@ class Trainer:
             share_march=bool(cfg.share_march),
             w_opacity=cfg.w_opacity,
             w_distortion=cfg.w_distortion,
-            remat_fixed=bool(getattr(cfg, "remat_fixed", 0)),
+            remat_fixed=int(getattr(cfg, "remat_fixed", 0)),
         )
         # rand-pose CLIP guidance (reference main_nerf.py:183 + clip_utils,
         # wired for real here — see train/clip_guidance.py)

@@ -266,9 +266,10 @@ def test_remat_fixed_grads_match():
         return loss, grads
 
     loss0, g0 = run(ss)
-    loss1, g1 = run(ssw)
-    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8),
-        g0, g1)
+    for s in (ssw, ssw._replace(remat_fixed=2)):  # full remat + policy
+        loss1, g1 = run(s)
+        np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8),
+            g0, g1)
