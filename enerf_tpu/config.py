@@ -158,6 +158,13 @@ class Config:
                                 # transparent-mist gauge mode; uniform
                                 # sampling carves real geometry first
                                 # (quality_r2d J_fixed, ROUND2_STATUS.md)
+    warmup_num_steps: int = 0   # fixed-step sample count DURING the warmup
+                                # phase only (0 = use num_steps).  The warmup
+                                # renderer is encoder-gather bound — 4
+                                # renders x num_rays x num_steps samples per
+                                # step — so halving the warmup sample count
+                                # nearly halves warmup wall-clock while the
+                                # march phase keeps full num_steps for eval
     ckpt_interval: int = 1      # epochs between rotating checkpoint saves
                                 # (each save pulls the full train state to
                                 # host — costly over a remote-TPU link)

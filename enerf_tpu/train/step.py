@@ -74,6 +74,12 @@ class StepStatics(NamedTuple):
     # ~64 MB bf16 at 1M points, so backward skips the gather re-run —
     # faster than 1 when it fits).
     remat_fixed: int = 0
+    # fixed-step sample count during march_warmup phases only (0 = use
+    # num_steps).  The warmup program is encoder-address-rate bound (four
+    # fixed-step renders of num_rays*num_steps samples each), so a smaller
+    # warmup sample count buys near-linear warmup speedup; the opacity
+    # carve it exists for does not need eval-grade sampling density.
+    warmup_num_steps: int = 0
 
 
 def distortion_loss(weights, ts, dts):
@@ -154,8 +160,10 @@ def _render(params, ss, rays_o, rays_d, bg, rng, occ_bitfield=None):
 def warm_statics(ss):
     """StepStatics for a march_warmup phase: uniform fixed-step sampling
     (march + share off) with the renderer rematerialized — the warm
-    program is the peak-memory shape (see StepStatics.remat_fixed)."""
+    program is the peak-memory shape (see StepStatics.remat_fixed).
+    warmup_num_steps (when set) replaces num_steps for this phase only."""
     return ss._replace(use_march=False, share_march=False,
+                       num_steps=int(ss.warmup_num_steps) or ss.num_steps,
                        remat_fixed=max(int(ss.remat_fixed), 1))
 
 

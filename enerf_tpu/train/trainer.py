@@ -102,6 +102,7 @@ class Trainer:
             w_opacity=cfg.w_opacity,
             w_distortion=cfg.w_distortion,
             remat_fixed=int(getattr(cfg, "remat_fixed", 0)),
+            warmup_num_steps=int(getattr(cfg, "warmup_num_steps", 0)),
         )
         # rand-pose CLIP guidance (reference main_nerf.py:183 + clip_utils,
         # wired for real here — see train/clip_guidance.py)

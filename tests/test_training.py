@@ -273,3 +273,42 @@ def test_remat_fixed_grads_match():
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8),
             g0, g1)
+
+
+def test_warmup_num_steps_applies_in_warm_phase_only():
+    """--warmup_num_steps overrides the fixed-step sample count during the
+    march_warmup phase only (the warmup renderer is encoder-gather bound,
+    so a smaller count buys near-linear warmup speedup).  0 keeps
+    num_steps; the non-warm statics must be untouched."""
+    from enerf_tpu.train.step import event_loss_fn, warm_statics
+
+    static = tiny_static(out_dim_color=1)
+    ss = StepStatics(
+        field_static=static, num_steps=24, upsample_steps=0, min_near=0.2,
+        density_scale=1.0, C_thres=0.2, event_only=True,
+        use_luma=False, linlog=True, weight_loss_rgb=1.0,
+        negative_event_sampling=False, w_no_ev=1.0, out_dim_color=1,
+        warmup_num_steps=8,
+    )
+    ssw = warm_statics(ss)
+    assert ssw.num_steps == 8 and ss.num_steps == 24
+    assert warm_statics(ss._replace(warmup_num_steps=0)).num_steps == 24
+
+    # the reduced-count warm step still runs and produces finite grads
+    params = init_field_params(jax.random.PRNGKey(3), static)
+    key = jax.random.PRNGKey(11)
+    ko, kd, kr = jax.random.split(key, 3)
+    N = 32
+    d = jax.random.normal(kd, (N, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (N, 1))
+    o = o + 0.01 * jax.random.normal(ko, (N, 3))
+    batch = {
+        "rays_evs_o1": o, "rays_evs_d1": d,
+        "rays_evs_o2": o + 0.005, "rays_evs_d2": d,
+        "pols": jnp.where(jnp.arange(N) % 2 == 0, 1.0, -1.0),
+    }
+    (loss, _), grads = jax.value_and_grad(event_loss_fn, has_aux=True)(
+        params, ssw, batch, kr)
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
