@@ -188,6 +188,13 @@ class Config:
         assert self.acc_max_num_evs >= 0, (
             f"acc_max_num_evs must be >= 0, got {self.acc_max_num_evs}"
         )
+        assert self.march_warmup >= 0, (
+            f"march_warmup must be >= 0, got {self.march_warmup}"
+        )
+        assert self.warmup_num_steps >= 0, (
+            f"warmup_num_steps must be >= 0, got {self.warmup_num_steps} "
+            "(0 = use num_steps during the warmup phase)"
+        )
         if self.mode == "eds":
             assert self.pp_poses_sphere == 0, (
                 "mode=eds requires pp_poses_sphere=0 (EDS poses are already "

@@ -159,8 +159,10 @@ def _render(params, ss, rays_o, rays_d, bg, rng, occ_bitfield=None):
 
 def warm_statics(ss):
     """StepStatics for a march_warmup phase: uniform fixed-step sampling
-    (march + share off) with the renderer rematerialized — the warm
-    program is the peak-memory shape (see StepStatics.remat_fixed).
+    (march + share off) with the renderer rematerialized.  The warm
+    program is the peak-memory shape only when warmup_num_steps is 0
+    (full num_steps); a smaller warmup_num_steps shrinks the warm
+    render's residuals below the march program's (StepStatics.remat_fixed).
     warmup_num_steps (when set) replaces num_steps for this phase only."""
     return ss._replace(use_march=False, share_march=False,
                        num_steps=int(ss.warmup_num_steps) or ss.num_steps,
