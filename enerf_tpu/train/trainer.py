@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from enerf_tpu.models.field import FieldStatic, init_field_params, field_density
 from enerf_tpu.render.renderer import render_rays_staged
-from enerf_tpu.render.march import render_rays_march
+from enerf_tpu.render.march import render_rays_march, render_rays_infer
 from enerf_tpu.render.occupancy import (
     init_occupancy, update_occupancy, mark_untrained_grid,
 )
@@ -495,10 +495,13 @@ class Trainer:
                 out = self._sharded_render(
                     params, self.occupancy.occ_bitfield, ro, rd)
             else:
-                # staged march eval (reference renderer.py:579-594): the
-                # per-cell hashgrid at eval depth OOMs HBM on a full 128^2
-                # image in one call, so chunk rays at max_ray_batch and
-                # pad the tail to keep one compiled shape
+                # alive-ray inference renderer (reference
+                # raymarching.cu:701-938 / renderer.py:344-401 role): full
+                # max_steps march depth with per-window early termination —
+                # rays retire at T < 1e-4, so a raster-local chunk over sky
+                # or near surfaces exits after a few 16-sample windows
+                # instead of paying the fixed eval-depth live buffer.
+                # Chunking at max_ray_batch bounds the per-call field eval.
                 chunk = min(int(self.cfg.max_ray_batch), ro.shape[0])
                 outs = {"image": [], "depth": []}
                 for s in range(0, ro.shape[0], chunk):
@@ -507,10 +510,10 @@ class Trainer:
                     if pad:
                         co = jnp.concatenate([co, jnp.tile(co[-1:], (pad, 1))])
                         cd = jnp.concatenate([cd, jnp.tile(cd[-1:], (pad, 1))])
-                    o = render_rays_march(
+                    o = render_rays_infer(
                         params, self.static, self.occupancy.occ_bitfield,
                         co, cd,
-                        num_samples=eval_samples,
+                        block=16,
                         max_steps=self.ss.max_steps, bg_color=1.0,
                         min_near=self.cfg.min_near,
                         density_scale=self.cfg.density_scale,

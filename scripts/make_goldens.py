@@ -303,6 +303,69 @@ def gen_slerp():
     print("slerp ok")
 
 
+def gen_network():
+    """Freeze the COMPOSED reference NeRFNetwork (nerf/network.py:104-214):
+    hashgrid encoder -> sigma MLP -> trunc_exp + geo_feat -> SH dir encode
+    -> color MLP -> sigmoid, forward + parameter gradients.  The hashgrid
+    backbone runs through the functional pure-torch GridEncoder stub
+    (ref_stubs.py), which is numerically identical to the CUDA kernel's
+    semantics (itself oracle-tested in tests/test_ops.py)."""
+    import torch
+    import encoding as ref_encoding
+    import nerf.network as ref_network
+    from nerf.network import NeRFNetwork
+
+    # Shrink the grid CONFIG (not the code path) so the frozen table fits
+    # in-repo: 2^14-entry levels to resolution 256 instead of 2^19 to 2048.
+    # Addressing across sizes is oracle-tested separately (tests/test_ops).
+    GRID_KW = dict(num_levels=16, level_dim=2, base_resolution=16,
+                   log2_hashmap_size=14)
+
+    def small_get_encoder(enc, **kw):
+        if enc == "hashgrid":
+            kw = {**kw, **GRID_KW, "desired_resolution": 256}
+        return ref_encoding.get_encoder(enc, **kw)
+
+    ref_network.get_encoder = small_get_encoder
+    try:
+        torch.manual_seed(0)
+        model = NeRFNetwork(
+            encoding="hashgrid", bound=1.0, cuda_ray=False, density_scale=1,
+            min_near=0.2, density_thresh=0.01, bg_radius=-1,
+            disable_view_direction=False, out_dim_color=1,
+        )
+    finally:
+        ref_network.get_encoder = ref_encoding.get_encoder
+    rng = np.random.RandomState(11)
+    # positions span in/out of [-bound, bound] to hit the oob-zeros path
+    x = rng.uniform(-1.2, 1.2, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    sigma, color = model(torch.from_numpy(x), torch.from_numpy(d))
+    ws = torch.tensor(rng.randn(*sigma.shape).astype(np.float32))
+    wc = torch.tensor(rng.randn(*color.shape).astype(np.float32))
+    loss = (sigma * ws).mean() + (color * wc).mean()
+    loss.backward()
+
+    out = {
+        "x": x, "d": d,
+        "sigma": sigma.detach().numpy(), "color": color.detach().numpy(),
+        "ws": ws.numpy(), "wc": wc.numpy(),
+        "embeddings": model.encoder.embeddings.detach().numpy(),
+        "d_embeddings": model.encoder.embeddings.grad.numpy(),
+    }
+    for i, lin in enumerate(model.sigma_net):
+        out[f"sigma_w{i}"] = lin.weight.detach().numpy()  # [out, in]
+        out[f"d_sigma_w{i}"] = lin.weight.grad.numpy()
+    for i, lin in enumerate(model.color_net):
+        out[f"color_w{i}"] = lin.weight.detach().numpy()
+        out[f"d_color_w{i}"] = lin.weight.grad.numpy()
+    np.savez(os.path.join(OUT, "network.npz"), **out)
+    print("network:", sigma.shape, color.shape,
+          "emb", out["embeddings"].shape)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     install_stubs()
@@ -314,6 +377,7 @@ def main():
     gen_run_renderer()
     gen_event_loss()
     gen_slerp()
+    gen_network()
     print("goldens written to", OUT)
 
 

@@ -286,3 +286,58 @@ def test_hash_index_scalar_cases():
             got = out[n, lvl * 2]
             np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-3,
                                        err_msg=f"n={n} lvl={lvl}")
+
+
+# ------------------------------------------------------- composed network
+
+def test_full_network_golden():
+    """The COMPOSED reference NeRFNetwork (network.py:104-214) — hashgrid
+    encode -> sigma MLP -> trunc_exp/geo_feat -> SH dir encode -> color MLP
+    -> sigmoid — forward AND parameter gradients, frozen from the reference
+    running on CPU (scripts/make_goldens.py gen_network)."""
+    from enerf_tpu.models.field import (
+        FieldStatic, field_forward,
+    )
+
+    g = _load("network.npz")
+    static = FieldStatic(
+        bound=1.0, encoding="hashgrid", out_dim_color=1, sh_degree=4,
+        num_levels=16, level_dim=2, base_resolution=16,
+        log2_hashmap_size=14,
+    )
+    # golden used desired_resolution=256 (shrunk config; same code path)
+    from enerf_tpu.ops.hashgrid import HashGridMeta
+    static.grid_meta = HashGridMeta(
+        input_dim=3, num_levels=16, level_dim=2, base_resolution=16,
+        log2_hashmap_size=14, desired_resolution=256, gridtype="hash",
+    )
+    assert static.grid_meta.total_entries == g["embeddings"].shape[0]
+
+    params = {"hash_table": jnp.asarray(g["embeddings"])}
+    for i in range(2):
+        params[f"sigma_w{i}"] = jnp.asarray(g[f"sigma_w{i}"].T)  # torch [o,i]
+    for i in range(3):
+        params[f"color_w{i}"] = jnp.asarray(g[f"color_w{i}"].T)
+
+    x, d = jnp.asarray(g["x"]), jnp.asarray(g["d"])
+    sigma, color = field_forward(params, static, x, d)
+    np.testing.assert_allclose(np.asarray(sigma), g["sigma"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(color), g["color"],
+                               rtol=1e-4, atol=1e-5)
+
+    ws, wc = jnp.asarray(g["ws"]), jnp.asarray(g["wc"])
+
+    def loss(p):
+        s, c = field_forward(p, static, x, d)
+        return jnp.mean(s * ws) + jnp.mean(c * wc)
+
+    grads = jax.grad(loss)(params)
+    np.testing.assert_allclose(np.asarray(grads["hash_table"]),
+                               g["d_embeddings"], atol=1e-6)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(grads[f"sigma_w{i}"]),
+                                   g[f"d_sigma_w{i}"].T, rtol=1e-3, atol=1e-5)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(grads[f"color_w{i}"]),
+                                   g[f"d_color_w{i}"].T, rtol=1e-3, atol=1e-5)

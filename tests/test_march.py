@@ -273,3 +273,71 @@ def test_march_long_corridor_recall():
     # remaining gap is slot capacity (reference mean_count-style budget),
     # not skip starvation
     assert got > 0.4 * oracle, (got, oracle)
+
+
+def test_infer_renderer_matches_march_render():
+    """render_rays_infer (alive-ray early-termination loop,
+    raymarching.cu:701-938 role) must produce the same image as the
+    full-depth static march at matched sampling."""
+    from enerf_tpu.render.march import render_rays_infer
+
+    static = small_static()
+    params = init_field_params(jax.random.PRNGKey(3), static)
+    occ = init_occupancy(1.0)
+    occ = occ._replace(occ_bitfield=jnp.ones_like(occ.occ_bitfield))
+
+    H = W = 8
+    intr = synthetic.default_intrinsics(H, W)
+    pose = jnp.asarray(synthetic.circle_pose(0.3), jnp.float32)
+    from enerf_tpu.data.rays import get_rays_full
+    ro, rd = get_rays_full(pose, intr, H, W)
+
+    full = render_rays_march(
+        params, static, occ.occ_bitfield, ro, rd,
+        num_samples=256, max_steps=256, bg_color=1.0,
+    )
+    inf = render_rays_infer(
+        params, static, occ.occ_bitfield, ro, rd,
+        block=16, max_steps=256, bg_color=1.0,
+    )
+    # an UNtrained field is nearly transparent: no ray terminates early, so
+    # this checks exact compositing equivalence across the window splits
+    np.testing.assert_allclose(
+        np.asarray(inf["image"]), np.asarray(full["image"]), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(inf["depth"]), np.asarray(full["depth"]), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(inf["weights_sum"]), np.asarray(full["weights_sum"]),
+        atol=2e-3)
+
+
+def test_infer_renderer_early_termination_on_opaque_field():
+    """With an opaque field, the alive-ray loop must still match the
+    full-depth march (rays retire at T < 1e-4; the tail they skip
+    contributes nothing) and the weights must saturate."""
+    from enerf_tpu.render.march import render_rays_infer
+
+    static = small_static()
+    params = init_field_params(jax.random.PRNGKey(4), static)
+    occ = init_occupancy(1.0)
+    occ = occ._replace(occ_bitfield=jnp.ones_like(occ.occ_bitfield))
+
+    H = W = 8
+    intr = synthetic.default_intrinsics(H, W)
+    pose = jnp.asarray(synthetic.circle_pose(0.6), jnp.float32)
+    from enerf_tpu.data.rays import get_rays_full
+    ro, rd = get_rays_full(pose, intr, H, W)
+
+    # opacity via density_scale (alpha ~ 1-exp(-dt*1000*sigma) saturates
+    # within a few samples), exercising per-ray retirement mid-march
+    full = render_rays_march(
+        params, static, occ.occ_bitfield, ro, rd,
+        num_samples=512, max_steps=512, bg_color=0.3, density_scale=1000.0,
+    )
+    inf = render_rays_infer(
+        params, static, occ.occ_bitfield, ro, rd,
+        block=16, max_steps=512, bg_color=0.3, density_scale=1000.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(inf["image"]), np.asarray(full["image"]), atol=3e-3)
+    assert float(jnp.max(inf["weights_sum"])) > 0.999
