@@ -86,6 +86,9 @@ def main(argv=None):
     ap.add_argument("--num_levels", type=int, default=8)
     ap.add_argument("--level_dim", type=int, default=4)
     ap.add_argument("--bf16_gather", type=int, default=0)
+    ap.add_argument("--segsum_grad", type=int, default=0,
+                    help="table backward via sort+segment-sum "
+                         "(block_encode_segsum) instead of scatter-add")
     args = ap.parse_args(argv)
 
     n_rays = args.n_rays   # per-render ray batch (x2 renders per step)
@@ -98,6 +101,7 @@ def main(argv=None):
         fast_table_grad=bool(args.fast_table_grad),
         num_levels=args.num_levels, level_dim=args.level_dim,
         bf16_gather=bool(args.bf16_gather),
+        segsum_table_grad=bool(args.segsum_grad),
     )
     params = init_field_params(jax.random.PRNGKey(0), static)
     state, opt = init_train_state(params, lr0=1e-2, iters=10000)

@@ -128,6 +128,16 @@ class Config:
                                 # off — measured slower on v5e, the gather
                                 # is address-rate bound; 1: opt in.
                                 # ops/blockgrid.block_encode_bf16)
+    segsum_grad: int = 0        # blockgrid table backward via sort +
+                                # prefix-sum segment reduce + sorted-unique
+                                # scatter (ops/blockgrid.block_encode_segsum)
+                                # instead of XLA's duplicate-index
+                                # scatter-add. 1 = on.
+    position_grads: int = 0     # with segsum_grad: also compute exact
+                                # dL/dposition (reference dy_dx path,
+                                # gridencoder.cu:176-221); plain
+                                # hashgrid/blockgrid autodiff paths give
+                                # position grads regardless
     w_distortion: float = 0.0   # mip-NeRF-360 distortion regularizer on
                                 # event-ray sample weights (march path) —
                                 # collapses the diffuse-mist density mode

@@ -44,7 +44,7 @@ class FieldStatic:
             self.num_layers_bg, self.hidden_dim_bg, str(self.compute_dtype),
             self.encoding, self.grid_meta, self.use_fused_head,
             self.fast_table_grad, self.grid_block, self.bf16_gather,
-            self.density_bias,
+            self.density_bias, self.segsum_table_grad, self.position_grads,
         )
 
     def __hash__(self):
@@ -90,10 +90,22 @@ class FieldStatic:
                                # None/False: off (default); True: opt in.
         density_bias=0.0,      # added to the density logit before trunc_exp
                                # (opaque-at-init option; see field_density)
+        segsum_table_grad=False,  # table backward via sort + prefix-sum
+                               # segment reduce + sorted-unique scatter
+                               # (ops/blockgrid.block_encode_segsum) instead
+                               # of XLA's duplicate-index scatter-add
+        position_grads=False,  # with segsum_table_grad: also compute exact
+                               # dL/dx (reference dy_dx, gridencoder.cu:176-
+                               # 221) — pose-refinement workloads.  The
+                               # default fast paths return ZERO position
+                               # grads; plain block_encode/hash_encode give
+                               # them via autodiff regardless of this flag.
         compute_dtype=jnp.float32,
     ):
         self.use_fused_head = use_fused_head
         self.fast_table_grad = fast_table_grad
+        self.segsum_table_grad = bool(segsum_table_grad)
+        self.position_grads = bool(position_grads)
         self.bf16_gather = bool(bf16_gather)
         self.density_bias = float(density_bias)
         self.bound = float(bound)
@@ -240,6 +252,10 @@ def _encode(params, static, x01):
         return freq_encode(x01, multires=6)
     table = params["hash_table"]
     if static.encoding == "blockgrid":
+        if static.segsum_table_grad:
+            from enerf_tpu.ops.blockgrid import block_encode_segsum
+            return block_encode_segsum(x01, table, static.grid_meta,
+                                       static.position_grads)
         if static.fast_table_grad:
             from enerf_tpu.ops.scatter_accum import block_encode_fast
             return block_encode_fast(x01, table, static.grid_meta)

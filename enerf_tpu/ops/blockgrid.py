@@ -311,3 +311,153 @@ def _beb_bwd(meta, x01, g, point_chunk=1 << 16):
 
 
 block_encode_bf16.defvjp(_beb_fwd, _beb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Sorted segment-sum backward (round-3 attack on the scatter cost center,
+# BENCH_NOTES round-2 stage breakdown: ~29 ms of the 62 ms step).
+
+
+def _axis_weights(lo, frac, meta, deriv_axis=None):
+    """Per-cell trilinear weights (or their d/dfrac along one axis) on the
+    flat [row_cells] iota.  lo/frac: [..., 3] -> [..., RC]."""
+    HA, RC = meta.halo, meta.row_cells
+    p = np.arange(RC)
+    pidxs = [jnp.asarray(p // (HA * HA), jnp.int32),
+             jnp.asarray((p // HA) % HA, jnp.int32),
+             jnp.asarray(p % HA, jnp.int32)]
+    out = 1.0
+    for d in range(3):
+        l = lo[..., d][..., None]
+        f = frac[..., d][..., None]
+        if d == deriv_axis:
+            w = (jnp.where(pidxs[d] == l, -1.0, 0.0)
+                 + jnp.where(pidxs[d] == l + 1, 1.0, 0.0))
+        else:
+            w = (jnp.where(pidxs[d] == l, 1.0 - f, 0.0)
+                 + jnp.where(pidxs[d] == l + 1, f, 0.0))
+        out = out * w
+    return out
+
+
+def _segsum_chunk_table_grad(xc, gc, meta):
+    """Table gradient of one encode chunk via sort + prefix-sum segment
+    reduction + a SORTED-UNIQUE scatter, instead of XLA's duplicate-index
+    scatter-add (measured ~64 GB/s ceiling, BENCH_NOTES.md:91).
+
+    xc: [n, 3] clipped positions; gc: [n, L, C] (oob rows pre-zeroed).
+    Returns [total_rows + 1, C*RC] (last row = pad bucket, caller trims).
+
+    The sort moves only 40 B/sample of compact payload (lo, frac, ct);
+    the 1 KB row gradients are materialized ONCE in sorted order, reduced
+    by run boundaries with a cumsum, and written with
+    indices_are_sorted=True — every HBM touch is a streaming pass.
+    """
+    n = xc.shape[0]
+    L, C, RC = meta.num_levels, meta.level_dim, meta.row_cells
+    M = n * L
+
+    rid, lo, frac = block_address(xc, meta)
+    keys = (rid + meta._offsets_dev[None, :]).reshape(M)
+
+    order = jnp.argsort(keys)
+    sid = keys[order]
+    lo_s = lo.reshape(M, 3)[order]
+    frac_s = frac.reshape(M, 3)[order]
+    ct_s = gc.reshape(M, C)[order]
+
+    W = _axis_weights(lo_s, frac_s, meta)                   # [M, RC]
+    G = jnp.concatenate(
+        [ct_s[:, c : c + 1] * W for c in range(C)], axis=-1)  # [M, C*RC]
+    csum = jnp.cumsum(G, axis=0)
+
+    is_last = jnp.concatenate([sid[1:] != sid[:-1],
+                               jnp.ones((1,), bool)])
+    # unique rows per chunk <= total_rows: exact static bound for nonzero
+    U = min(meta.total_rows, M)
+    last_idx = jnp.nonzero(is_last, size=U, fill_value=M - 1)[0]
+    sums = csum[last_idx]                                    # [U, C*RC]
+    sums = jnp.concatenate([sums[:1], sums[1:] - sums[:-1]], axis=0)
+    count = jnp.sum(is_last)
+    valid = jnp.arange(U) < count
+    # pads -> the extra bucket row (stays sorted: total_rows >= any id)
+    rows = jnp.where(valid, sid[last_idx], meta.total_rows)
+    sums = jnp.where(valid[:, None], sums, 0.0)
+    return jnp.zeros((meta.total_rows + 1, C * RC), jnp.float32).at[rows].add(
+        sums, indices_are_sorted=True, unique_indices=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def block_encode_segsum(x01, table, meta, compute_dx=False):
+    """block_encode with the table backward re-expressed as
+    sort -> prefix-sum segment reduce -> sorted-unique scatter
+    (_segsum_chunk_table_grad) instead of XLA's duplicate-index
+    scatter-add.  Forward is identical to block_encode.
+
+    compute_dx (static): position gradients cost one extra row gather in
+    the backward; they are OFF by default (rays are data in training) and
+    the VJP then returns ZERO dx — select compute_dx=True for
+    pose-refinement-style workloads (reference dy_dx path,
+    gridencoder.cu:176-221).
+    """
+    return block_encode(x01, table, meta)
+
+
+def _bes_fwd(x01, table, meta, compute_dx):
+    return block_encode(x01, table, meta), (x01, table if compute_dx else None)
+
+
+def _bes_bwd(meta, compute_dx, res, g, point_chunk=1 << 16):
+    x01, table = res
+    N = x01.shape[0]
+    L, C, RC = meta.num_levels, meta.level_dim, meta.row_cells
+
+    x = jnp.clip(x01.astype(jnp.float32), 0.0, 1.0)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)
+    g = jnp.where(oob[:, None, None], 0.0,
+                  g.reshape(N, L, C).astype(jnp.float32))
+
+    def chunk_dx_scaled(xc, gc):
+        # dx_d = sum_{l,c} ct[l,c] * scale_l * <dW/dfrac_d, row_{l,c}>
+        # (frac = x01*scale + 0.5 - floor => dfrac/dx01 = scale per level)
+        rid, lo, frac = block_address(xc, meta)
+        flat = rid + meta._offsets_dev[None, :]
+        rows = table[flat]                                    # [n, L, C*RC]
+        dxs = []
+        for d in range(3):
+            dW = _axis_weights(lo, frac, meta, deriv_axis=d)  # [n, L, RC]
+            per_level = 0.0
+            for c in range(C):
+                per_level = per_level + gc[..., c] * jnp.sum(
+                    dW * rows[..., c * RC:(c + 1) * RC], axis=-1)  # [n, L]
+            dxs.append(jnp.sum(per_level * meta._scales_dev[None, :], axis=-1))
+        return jnp.stack(dxs, axis=-1)
+
+    if N <= point_chunk:
+        gtab = _segsum_chunk_table_grad(x, g, meta)[:-1]
+        dx = chunk_dx_scaled(x, g) if compute_dx else jnp.zeros_like(x01)
+    else:
+        n_chunks = -(-N // point_chunk)
+        pad = n_chunks * point_chunk - N
+        xp = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], 0)
+        gp = jnp.concatenate([g, jnp.zeros((pad, L, C), g.dtype)], 0)
+        xr = xp.reshape(n_chunks, point_chunk, 3)
+        gr = gp.reshape(n_chunks, point_chunk, L, C)
+        gtab = jax.lax.scan(
+            lambda t, args: (t + _segsum_chunk_table_grad(*args, meta), None),
+            jnp.zeros((meta.total_rows + 1, C * RC), jnp.float32),
+            (xr, gr),
+        )[0][:-1]
+        if compute_dx:
+            dx = jax.lax.map(
+                lambda args: chunk_dx_scaled(*args), (xr, gr)
+            ).reshape(-1, 3)[:N]
+        else:
+            dx = jnp.zeros_like(x01)
+    # oob positions produced zero output -> zero dx
+    if compute_dx:
+        dx = jnp.where(oob[:, None], 0.0, dx).astype(x01.dtype)
+    return dx, gtab
+
+
+block_encode_segsum.defvjp(_bes_fwd, _bes_bwd)

@@ -74,6 +74,8 @@ class Trainer:
             level_dim=cfg.level_dim,
             bf16_gather=(None if cfg.bf16_gather < 0
                          else bool(cfg.bf16_gather)),
+            segsum_table_grad=bool(cfg.segsum_grad),
+            position_grads=bool(cfg.position_grads),
             density_bias=cfg.density_bias,
             hidden_dim=cfg.hidden_dim,
             hidden_dim_color=cfg.hidden_dim_color,

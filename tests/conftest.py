@@ -19,3 +19,33 @@ os.environ.setdefault("ENERF_TPU_INTERPRET", "1")  # Pallas interpret mode on CP
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Fast default suite / full suite split (VERDICT round-2 item 8).
+#
+# The dozen end-to-end trainer/convergence tests dominate suite wall-clock
+# (~1900 of ~2600 CPU-seconds); they are marked `slow` and SKIPPED by
+# default so `pytest tests/ -x -q` stays a <3-minute check.  Run everything
+# with:  pytest tests/ --full
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="also run tests marked slow (full suite)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long e2e/convergence test; skipped unless --full")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full"):
+        return
+    import pytest as _pytest
+    skip = _pytest.mark.skip(reason="slow (run with --full)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

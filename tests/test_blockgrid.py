@@ -1,6 +1,7 @@
 """Tests for the block-packed TPU-fast grid encoder."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -108,6 +109,7 @@ def test_block_encode_grads_flow():
     assert np.isfinite(np.asarray(gx)).all()
 
 
+@pytest.mark.slow
 def test_block_field_training_converges():
     """End-to-end: the blockgrid field trains to the same quality bar as the
     per-cell hash field on the synthetic scene."""
@@ -209,3 +211,53 @@ def test_block_encode_bf16_forward_and_f32_backward():
     g_full = bg._beb_bwd(meta, xl, jnp.ones((1100, meta.output_dim)))[1]
     np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_full),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_segsum_backward_matches_autodiff():
+    """block_encode_segsum (sort + prefix-sum segment reduce + sorted-
+    unique scatter) must reproduce block_encode's autodiff table gradient
+    AND the exact position gradient (reference dy_dx role,
+    gridencoder.cu:176-221), on both the single- and multi-chunk paths."""
+    from enerf_tpu.ops.blockgrid import (
+        BlockGridMeta, init_block_table, block_encode, block_encode_segsum,
+    )
+
+    meta = BlockGridMeta(num_levels=4, level_dim=2, log2_hashmap_size=12,
+                         desired_resolution=128, block=3)
+    tbl = init_block_table(jax.random.PRNGKey(0), meta)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2048, 3),
+                           minval=-0.1, maxval=1.1)  # includes oob
+    ct = jax.random.normal(jax.random.PRNGKey(2), (2048, meta.output_dim))
+
+    np.testing.assert_allclose(
+        np.asarray(block_encode_segsum(x, tbl, meta)),
+        np.asarray(block_encode(x, tbl, meta)), atol=0)
+
+    g_ref = jax.grad(lambda t: jnp.sum(block_encode(x, t, meta) * ct))(tbl)
+    g_new = jax.grad(
+        lambda t: jnp.sum(block_encode_segsum(x, t, meta) * ct))(tbl)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+
+    dx_ref = jax.grad(lambda xx: jnp.sum(block_encode(xx, tbl, meta) * ct))(x)
+    dx_new = jax.grad(
+        lambda xx: jnp.sum(block_encode_segsum(xx, tbl, meta, True) * ct))(x)
+    np.testing.assert_allclose(np.asarray(dx_new), np.asarray(dx_ref),
+                               atol=1e-4, rtol=1e-4)
+    # contract: without compute_dx the position grads are exact zeros
+    dx0 = jax.grad(
+        lambda xx: jnp.sum(block_encode_segsum(xx, tbl, meta, False) * ct))(x)
+    assert np.all(np.asarray(dx0) == 0.0)
+
+    # multi-chunk path (forces the scan accumulation)
+    xb = jax.random.uniform(jax.random.PRNGKey(3), (3000, 3))
+    ctb = jax.random.normal(jax.random.PRNGKey(4), (3000, meta.output_dim))
+    import functools
+    gb_ref = jax.grad(lambda t: jnp.sum(
+        block_encode(xb, t, meta, point_chunk=1024) * ctb))(tbl)
+    from enerf_tpu.ops import blockgrid as BG
+    gb_new = BG._bes_bwd(meta, False, (xb, None),
+                         ctb.reshape(3000, meta.output_dim),
+                         point_chunk=1024)[1]
+    np.testing.assert_allclose(np.asarray(gb_new), np.asarray(gb_ref),
+                               atol=1e-4, rtol=1e-4)

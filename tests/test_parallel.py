@@ -330,6 +330,8 @@ def test_sharded_eval_render_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+@pytest.mark.slow
 def test_march_warmup_applies_on_sharded_per_step_path(tmp_path):
     """--march_warmup must switch the renderer on the mesh PER-STEP path
     (fuse_steps=1) too, not only the fused-chunk path: the trainer builds

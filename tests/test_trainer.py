@@ -10,6 +10,8 @@ from tests_config_helper import tiny_cfg  # shared: keeps jit-cache shapes
                                           # identical across test modules
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_trainer_frames_end_to_end(tmp_path):
     from enerf_tpu.train.trainer import Trainer
     from enerf_tpu.data.provider import make_providers
@@ -37,6 +39,8 @@ def test_trainer_frames_end_to_end(tmp_path):
     assert os.path.getsize(path) > 100
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_trainer_events_end_to_end(tmp_path):
     from enerf_tpu.train.trainer import Trainer
     from enerf_tpu.data.provider import make_providers
@@ -55,6 +59,8 @@ def test_trainer_events_end_to_end(tmp_path):
     assert "affine_a" in results
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_trainer_occupancy_path(tmp_path):
     from enerf_tpu.train.trainer import Trainer
     from enerf_tpu.data.provider import make_providers
@@ -72,6 +78,8 @@ def test_trainer_occupancy_path(tmp_path):
     assert img.shape == (cfg.H, cfg.W, 3) and np.isfinite(img).all()
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_fused_chunk_matches_per_step_convergence(tmp_path):
     """train/chunk.py: the fused 16-step program must advance the step
     count exactly, update occupancy on the 16-step cadence, update the
@@ -99,6 +107,8 @@ def test_fused_chunk_matches_per_step_convergence(tmp_path):
     assert abs(a - b) < 0.5 * max(a, b) + 0.05, final_losses
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_cli_smoke(tmp_path):
     import main as cli
 
@@ -114,6 +124,8 @@ def test_cli_smoke(tmp_path):
     assert os.path.exists(os.path.join(ws, "args.json"))
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_march_warmup_switches_renderer(tmp_path):
     """--march_warmup trains the first N iters with the uniform fixed-step
     renderer, then switches to the march path (two distinct fused chunks)."""
@@ -140,6 +152,8 @@ def test_march_warmup_switches_renderer(tmp_path):
     assert int(trainer.state.step) == 8
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_async_checkpoints_roundtrip(tmp_path):
     """--async_ckpt overlaps saves with training; resume sees identical
     state, rotation still holds, and wait() drains in-flight writes."""
@@ -177,6 +191,8 @@ def test_async_checkpoints_roundtrip(tmp_path):
     assert t2.stats["psnr"] == trainer.stats["psnr"][:n]
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_wide_mlp_trains(tmp_path):
     """--hidden_dim/--hidden_dim_color/--geo_feat_dim widen the field MLPs
     (free on TPU — BENCH_NOTES.md: the MLPs are <1% of step time; the

@@ -77,6 +77,8 @@ def test_frame_training_converges():
     assert p > flat + 2.0, f"PSNR {p:.2f} not better than flat {flat:.2f}"
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_event_training_decreases_loss():
     data = synthetic.simulate_events(H=48, W=48, n_frames=40, C=0.1, turns=0.5)
     assert data["events"].shape[0] > 2000, "simulator produced too few events"
@@ -226,6 +228,8 @@ def test_density_bias_opaque_init():
         np.testing.assert_allclose(ratio, np.exp(3.0), rtol=0.05)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_remat_fixed_grads_match():
     """warm_statics remats the fixed-step renderer (jax.checkpoint) to cut
     the warm program's peak AD-residual memory ~4x (the event loss issues
