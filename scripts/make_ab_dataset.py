@@ -32,7 +32,13 @@ def main():
     p.add_argument("--H", type=int, default=64)
     p.add_argument("--W", type=int, default=64)
     p.add_argument("--frames", type=int, default=120)
-    p.add_argument("--C", type=float, default=0.2)
+    # Per-scene contrast thresholds: the reference's event sampler needs
+    # same-pixel successor events inside EVERY train batch (incl. the
+    # structural single-interval final batch, provider.py:58-61) — the
+    # low-texture smooth scene only reaches that density at C=0.05
+    # (measured: >=25 same-pixel-pair pixels per interval; C=0.2 gives 0).
+    p.add_argument("--C_smooth", type=float, default=0.05)
+    p.add_argument("--C_textured", type=float, default=0.2)
     p.add_argument("--turns", type=float, default=0.5)
     p.add_argument("--scale", type=float, default=0.33,
                    help="pose scale baked into poses_all.txt (both loaders "
@@ -42,15 +48,16 @@ def main():
     from enerf_tpu.data import synthetic
     from enerf_tpu.data.provider import save_esim_dataset
 
-    for name, rich in (("smooth", 1), ("textured", 2)):
+    for name, rich, C in (("smooth", 1, args.C_smooth),
+                          ("textured", 2, args.C_textured)):
         d = os.path.join(args.out, name)
         data = synthetic.simulate_events(
-            H=args.H, W=args.W, n_frames=args.frames, C=args.C,
+            H=args.H, W=args.W, n_frames=args.frames, C=C,
             turns=args.turns, rich=rich)
         save_esim_dataset(data, d, scale=args.scale)
         meta = {
             "scene": name, "rich": rich, "H": args.H, "W": args.W,
-            "frames": args.frames, "C": args.C, "turns": args.turns,
+            "frames": args.frames, "C": C, "turns": args.turns,
             "scale": args.scale, "n_events": int(data["events"].shape[0]),
         }
         with open(os.path.join(d, "ab_meta.json"), "w") as f:

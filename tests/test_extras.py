@@ -160,3 +160,63 @@ def test_run_diagnostics_full_breadth(tmp_path):
     assert {"ev_accumulation.png", "ev_histogram.png", "hf_trajectory.png",
             "ev_rate.png", "noev_coverage.png", "train_poses.png",
             "train_rays.png"} <= names
+
+
+def test_lpips_external_weights_roundtrip(tmp_path, monkeypatch):
+    """$ENERF_LPIPS_WEIGHTS end-to-end: an npz in the export schema
+    (scripts/export_lpips_weights.py) switches lpips_jax to the calibrated
+    path and metric labels drop the `_rand` suffix (VERDICT round-2 item
+    9); removing it restores the seeded-random fallback."""
+    import enerf_tpu.train.lpips_jax as LJ
+    from enerf_tpu.train.metrics import lpips_label
+
+    rng = np.random.default_rng(0)
+    img0 = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+    img1 = np.clip(img0 + 0.1 * rng.normal(size=img0.shape), 0, 1).astype(
+        np.float32)
+
+    LJ._get_net.cache_clear()
+    monkeypatch.delenv("ENERF_LPIPS_WEIGHTS", raising=False)
+    d_rand = LJ.lpips_distance(img0, img1, "alex")
+    assert lpips_label() == "_rand"
+
+    # build a schema-correct weight file (random values stand in for the
+    # torch-lpips export, exercising the identical load/compute path)
+    out = {}
+    cin = 3
+    for i, (cout, k, _, _) in enumerate(LJ._ALEX):
+        out[f"alex_conv{i}_w"] = rng.normal(
+            scale=0.05, size=(k, k, cin, cout)).astype(np.float32)
+        out[f"alex_conv{i}_b"] = np.zeros(cout, np.float32)
+        cin = cout
+    for j, (cout, _) in enumerate([(64, 0), (192, 0), (384, 0), (256, 0),
+                                   (256, 0)]):
+        out[f"alex_lin{j}"] = rng.uniform(
+            0, 1, size=(cout,)).astype(np.float32)
+    cin = 3
+    i = 0
+    for cout, reps in LJ._VGG_BLOCKS:
+        for _ in range(reps):
+            out[f"vgg_conv{i}_w"] = rng.normal(
+                scale=0.05, size=(3, 3, cin, cout)).astype(np.float32)
+            out[f"vgg_conv{i}_b"] = np.zeros(cout, np.float32)
+            cin = cout
+            i += 1
+    for j, (cout, _) in enumerate(LJ._VGG_BLOCKS):
+        out[f"vgg_lin{j}"] = rng.uniform(0, 1, size=(cout,)).astype(
+            np.float32)
+    wpath = str(tmp_path / "lpips_weights.npz")
+    np.savez(wpath, **out)
+
+    monkeypatch.setenv("ENERF_LPIPS_WEIGHTS", wpath)
+    LJ._get_net.cache_clear()
+    assert LJ.lpips_is_calibrated()
+    assert lpips_label() == ""
+    d_cal = LJ.lpips_distance(img0, img1, "alex")
+    d_cal_vgg = LJ.lpips_distance(img0, img1, "vgg")
+    assert d_cal != d_rand and d_cal > 0 and d_cal_vgg > 0
+    assert LJ.lpips_distance(img0, img0, "alex") < 1e-6
+
+    monkeypatch.delenv("ENERF_LPIPS_WEIGHTS")
+    LJ._get_net.cache_clear()
+    assert lpips_label() == "_rand"
