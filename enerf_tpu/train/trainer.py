@@ -149,6 +149,17 @@ class Trainer:
             except Exception:
                 pass
 
+        if self.static.encoding == "hashgrid":
+            # ported reference configs land here by default; make the known
+            # perf cliff loud (BENCH_NOTES.md: the per-cell layout is ~4.4x
+            # slower than the block-packed grid on TPU — 8 address-bound
+            # gathers per sample per level vs 1)
+            self.log(
+                "[warn] encoding=hashgrid is the exact-parity per-cell "
+                "oracle (~4.4x slower on TPU than the block-packed grid); "
+                "for production training use --encoding blockgrid, or --ff "
+                "/ --tcnn which select it automatically (BENCH_NOTES.md)")
+
         self.ckpt = CheckpointManager(
             os.path.join(self.workspace, "checkpoints"),
             name=cfg.expname, max_keep=cfg.max_keep_ckpt,

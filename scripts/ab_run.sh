@@ -1,0 +1,58 @@
+#!/bin/bash
+# Head-to-head quality A/B vs the reference (VERDICT round-2 item 1).
+#
+# Per scene (smooth / textured), on the SAME shared esim dataset
+# (output/ab_data, scripts/make_ab_dataset.py) with the SAME config file
+# (configs/ab_mini/<scene>/<scene>_enerf.txt), at EQUAL iters, both on CPU:
+#   REF : the reference's own main_nerf.py via scripts/ab_reference.py
+#         (functional CPU stubs; real hashgrid backbone)
+#   OURS: main.py (this framework)
+# then computes plain + corrected PSNR/SSIM for BOTH from the saved final
+# validation renders with ONE implementation (scripts/ab_metrics.py).
+#
+# Usage: bash scripts/ab_run.sh <scene> [ref|ours|metrics|all]
+set -u
+SCENE=${1:?scene (smooth|textured)}
+WHAT=${2:-all}
+cd /root/repo
+OUT=output/ab_r3
+CFG=configs/ab_mini/$SCENE/${SCENE}_enerf.txt
+DATA=$(pwd)/output/ab_data/$SCENE
+mkdir -p "$OUT"
+
+if [ "$WHAT" = ref ] || [ "$WHAT" = all ]; then
+  echo "=== REF $SCENE ==="
+  timeout 21600 python scripts/ab_reference.py -- \
+    --config "$CFG" --datadir "$DATA" \
+    --outdir "$OUT/ref" --expweek ab --expname "$SCENE" \
+    > "$OUT/ref_$SCENE.log" 2>&1
+  echo "ref rc=$?"
+fi
+
+if [ "$WHAT" = ours ] || [ "$WHAT" = all ]; then
+  echo "=== OURS $SCENE ==="
+  ENERF_PLATFORM=cpu ENERF_TPU_INTERPRET=1 timeout 21600 python main.py \
+    --config "$CFG" --datadir "$DATA" \
+    --outdir "$OUT/ours" --expweek ab --expname "$SCENE" \
+    --eval_interval 3 \
+    > "$OUT/ours_$SCENE.log" 2>&1
+  echo "ours rc=$?"
+fi
+
+if [ "$WHAT" = metrics ] || [ "$WHAT" = all ]; then
+  echo "=== METRICS $SCENE ==="
+  REF_WS=$OUT/ref/ab/$SCENE/ab_mini/${SCENE}_${SCENE}_enerf
+  REF_LAST=$(ls "$REF_WS/validation/prediction/" 2>/dev/null \
+    | sed -E 's/.*_ep([0-9]+)_.*/\1/' | sort -n | tail -1)
+  python scripts/ab_metrics.py \
+    --pred "$REF_WS/validation/prediction/*_ep${REF_LAST}_*.png" \
+    --gt   "$REF_WS/validation/gt/*_ep${REF_LAST}_*_gt.png" \
+    --label "ref_$SCENE" | tee -a "$OUT/results.jsonl"
+  OURS_WS=$OUT/ours/ab/$SCENE
+  OURS_LAST=$(ls "$OURS_WS/validation/prediction/" \
+    | sed -E 's/ep([0-9]+)_.*/\1/' | sort -n | tail -1)
+  python scripts/ab_metrics.py \
+    --pred "$OURS_WS/validation/prediction/ep${OURS_LAST}_*.png" \
+    --gt   "$OURS_WS/validation/gt/*.png" \
+    --label "ours_$SCENE" | tee -a "$OUT/results.jsonl"
+fi

@@ -120,3 +120,35 @@ def main():
 
 if __name__ == "__main__":
     main()
+    bench_encoder_backward()
+
+
+def bench_encoder_backward():
+    """Integrated comparison at the production bench shape: block_encode
+    (XLA scatter-add VJP) vs block_encode_segsum (sort + prefix-sum
+    segment reduce + sorted-unique scatter), fwd+bwd wall-clock."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from enerf_tpu.ops.blockgrid import (
+        BlockGridMeta, init_block_table, block_encode, block_encode_segsum)
+
+    for name, kw in [("8x4blk3", dict(num_levels=8, level_dim=4, block=3)),
+                     ("16x2blk4", dict(num_levels=16, level_dim=2, block=4))]:
+        meta = BlockGridMeta(log2_hashmap_size=19, desired_resolution=2048,
+                             **kw)
+        tbl = init_block_table(jax.random.PRNGKey(0), meta)
+        # bench.py production load: 8192 rays x 8 compacted samples x 2
+        # renders = 131072 points/step
+        n = 131072
+        x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
+        ct = jax.random.normal(jax.random.PRNGKey(2), (n, meta.output_dim))
+
+        f_base = jax.jit(jax.grad(
+            lambda t: jnp.vdot(block_encode(x, t, meta), ct)))
+        f_seg = jax.jit(jax.grad(
+            lambda t: jnp.vdot(block_encode_segsum(x, t, meta), ct)))
+        dt_b = timed(f_base, tbl)
+        dt_s = timed(f_seg, tbl)
+        print(f"encoder bwd {name}: scatter {dt_b*1e3:7.2f} ms | "
+              f"segsum {dt_s*1e3:7.2f} ms | speedup {dt_b/dt_s:5.2f}x "
+              f"({n/1e3:.0f}k pts x {meta.num_levels} levels)")
