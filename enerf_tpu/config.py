@@ -128,6 +128,10 @@ class Config:
                                 # off — measured slower on v5e, the gather
                                 # is address-rate bound; 1: opt in.
                                 # ops/blockgrid.block_encode_bf16)
+    debug_nan: int = 0          # NaN sanitizer: 1 = dump param norms +
+                                # abort at the first non-finite loss;
+                                # 2 = also enable jax_debug_nans (traps the
+                                # producing op; slow). 0 = log-only sentinel
     segsum_grad: int = 0        # blockgrid table backward via sort +
                                 # prefix-sum segment reduce + sorted-unique
                                 # scatter (ops/blockgrid.block_encode_segsum)

@@ -49,6 +49,10 @@ class Trainer:
         # train-time provenance
         self.cfg = cfg
         self.mesh = mesh
+        if int(getattr(cfg, "debug_nan", 0)) >= 2:
+            # trap the op that produces the first NaN/Inf (slow: disables
+            # some fusions and re-runs ops de-optimized on a hit)
+            jax.config.update("jax_debug_nans", True)
         # multi-host: only process 0 writes files (logs, ckpts, tensorboard,
         # validation images) — reference utils.py:472-479, 1084-1085
         self.primary = jax.process_index() == 0
@@ -334,6 +338,28 @@ class Trainer:
 
         def log_aux(aux, step):
             loss = float(aux["loss"])
+            if not np.isfinite(loss):
+                # NaN/Inf sentinel (SURVEY aux row "race detection /
+                # sanitizers"; the reference trains blind here).  Always
+                # logged; --debug_nan 1 additionally dumps per-parameter
+                # norms and aborts the run at the first bad step.
+                self.log(f"[nan] non-finite loss {loss} at step {step}")
+                if getattr(cfg, "debug_nan", 0):
+                    dump = {
+                        "step": step,
+                        "aux": {k: float(v) for k, v in aux.items()
+                                if np.ndim(v) == 0},
+                        "param_norms": {
+                            k: float(jnp.linalg.norm(v.astype(jnp.float32)))
+                            for k, v in self.state.params.items()},
+                    }
+                    path = os.path.join(self.workspace, "nan_dump.json")
+                    with open(path, "w") as f:
+                        json.dump(dump, f, indent=2)
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}; diagnostics in "
+                        f"{path} (rerun with --debug_nan 2 to trap the "
+                        f"producing op via jax_debug_nans)")
             # implC_* telemetry goes to tensorboard only (reference
             # utils.py:985-989), not the console line
             extras = " ".join(

@@ -11,7 +11,6 @@ from tests_config_helper import tiny_cfg  # shared: keeps jit-cache shapes
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_trainer_frames_end_to_end(tmp_path):
     from enerf_tpu.train.trainer import Trainer
     from enerf_tpu.data.provider import make_providers
@@ -40,7 +39,6 @@ def test_trainer_frames_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_trainer_events_end_to_end(tmp_path):
     from enerf_tpu.train.trainer import Trainer
     from enerf_tpu.data.provider import make_providers
@@ -60,7 +58,6 @@ def test_trainer_events_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_trainer_occupancy_path(tmp_path):
     from enerf_tpu.train.trainer import Trainer
     from enerf_tpu.data.provider import make_providers
@@ -78,7 +75,6 @@ def test_trainer_occupancy_path(tmp_path):
     assert img.shape == (cfg.H, cfg.W, 3) and np.isfinite(img).all()
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_fused_chunk_matches_per_step_convergence(tmp_path):
     """train/chunk.py: the fused 16-step program must advance the step
@@ -108,7 +104,6 @@ def test_fused_chunk_matches_per_step_convergence(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_cli_smoke(tmp_path):
     import main as cli
 
@@ -124,7 +119,6 @@ def test_cli_smoke(tmp_path):
     assert os.path.exists(os.path.join(ws, "args.json"))
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_march_warmup_switches_renderer(tmp_path):
     """--march_warmup trains the first N iters with the uniform fixed-step
@@ -152,7 +146,6 @@ def test_march_warmup_switches_renderer(tmp_path):
     assert int(trainer.state.step) == 8
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_async_checkpoints_roundtrip(tmp_path):
     """--async_ckpt overlaps saves with training; resume sees identical
@@ -192,7 +185,6 @@ def test_async_checkpoints_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_wide_mlp_trains(tmp_path):
     """--hidden_dim/--hidden_dim_color/--geo_feat_dim widen the field MLPs
     (free on TPU — BENCH_NOTES.md: the MLPs are <1% of step time; the
@@ -220,3 +212,30 @@ def test_wide_mlp_trains(tmp_path):
     trainer.train(train, None, max_epoch=1)
     assert int(trainer.state.step) == 4
     assert np.isfinite(trainer.stats["loss"][-1])
+
+
+def test_debug_nan_sentinel(tmp_path):
+    """--debug_nan 1: the first non-finite loss aborts with a parameter-
+    norm dump (SURVEY aux 'sanitizers' row; the reference trains blind
+    through NaNs)."""
+    import jax.numpy as jnp
+    from enerf_tpu.config import Config
+    from enerf_tpu.train.trainer import Trainer
+    from enerf_tpu.data.provider import make_providers
+
+    cfg = Config(
+        mode="synthetic", events=0, H=16, W=16, syn_frames=4,
+        iters=100, num_rays=64, num_steps=8, upsample_steps=0,
+        outdir=str(tmp_path), expname="nan", ckpt="scratch",
+        eval_interval=100, log_every=1, fuse_steps=1, debug_nan=1,
+    ).validate()
+    train_p, val_p = make_providers(cfg)
+    tr = Trainer(cfg, use_checkpoint="scratch")
+    # poison one weight -> forward produces NaN loss at the first step
+    tr.state = tr.state._replace(params={
+        **tr.state.params,
+        "sigma_w0": tr.state.params["sigma_w0"] * jnp.nan,
+    })
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        tr.train(train_p, val_p, max_epoch=1)
+    assert os.path.exists(os.path.join(tr.workspace, "nan_dump.json"))
