@@ -204,10 +204,30 @@ def simulate_events(H=64, W=64, n_frames=40, C=0.2, radius=2.5, height=0.8,
         except Exception:
             pass  # partial write from a concurrent process: recompute
 
-    frames = np.stack(
-        [render_gt(circle_pose(t, radius, height, turns), intr, H, W,
-                   grayscale=True, rich=rich) for t in ts]
-    )
+    # frame-level cache: the GT renders dominate build time and do NOT
+    # depend on the contrast threshold — C-sweeps reuse them
+    fkey = f"{H}x{W}_f{n_frames}_r{radius}_h{height}_t{turns}" \
+           f"_fov{fovy_deg}_s{seed}_rich{int(rich)}_frames_v1"
+    fpath = os.path.join(cache_dir, fkey + ".npz")
+    frames = None
+    if os.path.exists(fpath):
+        try:
+            frames = np.load(fpath)["frames"]
+        except Exception:
+            frames = None
+    if frames is None:
+        frames = np.stack(
+            [render_gt(circle_pose(t, radius, height, turns), intr, H, W,
+                       grayscale=True, rich=rich) for t in ts]
+        )
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = fpath + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.savez_compressed(f, frames=frames)
+            os.replace(tmp, fpath)
+        except OSError:
+            pass
 
     # per-pixel linlog intensity over time
     ll = _lin_log(frames[..., 0] * 255.0)  # [F, H, W]

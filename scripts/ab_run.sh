@@ -31,10 +31,13 @@ fi
 
 if [ "$WHAT" = ours ] || [ "$WHAT" = all ]; then
   echo "=== OURS $SCENE ==="
+  # ours runs its production grid (blockgrid; config encoding=auto would
+  # select the per-cell parity oracle since ff=False) — the A/B compares
+  # FRAMEWORKS on equal data/loss/iters, each with its production encoder
   ENERF_PLATFORM=cpu ENERF_TPU_INTERPRET=1 timeout 21600 python main.py \
     --config "$CFG" --datadir "$DATA" \
     --outdir "$OUT/ours" --expweek ab --expname "$SCENE" \
-    --eval_interval 3 \
+    --eval_interval 3 --encoding blockgrid \
     > "$OUT/ours_$SCENE.log" 2>&1
   echo "ours rc=$?"
 fi
