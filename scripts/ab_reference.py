@@ -31,7 +31,8 @@ def main():
     if argv and argv[0] == "--":
         argv = argv[1:]
     import torch
-    torch.set_num_threads(os.cpu_count())
+    torch.set_num_threads(
+        int(os.environ.get("AB_TORCH_THREADS", os.cpu_count())))
     install_stubs()
     sys.argv = [REF_MAIN] + argv
     runpy.run_path(REF_MAIN, run_name="__main__")

@@ -31,13 +31,15 @@ fi
 
 if [ "$WHAT" = ours ] || [ "$WHAT" = all ]; then
   echo "=== OURS $SCENE ==="
-  # ours runs its production grid (blockgrid; config encoding=auto would
-  # select the per-cell parity oracle since ff=False) — the A/B compares
-  # FRAMEWORKS on equal data/loss/iters, each with its production encoder
-  ENERF_PLATFORM=cpu ENERF_TPU_INTERPRET=1 timeout 21600 python main.py \
+  # ours runs its production stack on its target hardware (TPU, --ff
+  # blockgrid + fused head + bf16) — the A/B compares FRAMEWORKS on equal
+  # data/loss/config/iters; quality at equal iters is hardware-independent
+  # (the reference cannot run on TPU, we cannot run CUDA; each side gets
+  # its production backend)
+  timeout 21600 python main.py \
     --config "$CFG" --datadir "$DATA" \
     --outdir "$OUT/ours" --expweek ab --expname "$SCENE" \
-    --eval_interval 3 --encoding blockgrid \
+    --eval_interval 3 --ff --fp16 \
     > "$OUT/ours_$SCENE.log" 2>&1
   echo "ours rc=$?"
 fi
