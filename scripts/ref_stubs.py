@@ -256,6 +256,24 @@ def _make_ema(torch):
                 for c, p in zip(self.collected_params, params):
                     p.copy_(c)
 
+        # torch_ema checkpoint API (the reference persists EMA state,
+        # utils.py:1315 / :1395)
+        def state_dict(self):
+            return {
+                "decay": self.decay,
+                "num_updates": self.num_updates,
+                "shadow_params": self.shadow_params,
+                "collected_params": self.collected_params,
+            }
+
+        def load_state_dict(self, sd):
+            self.decay = sd["decay"]
+            self.num_updates = sd["num_updates"]
+            self.shadow_params = [t.clone() for t in sd["shadow_params"]]
+            cp = sd.get("collected_params")
+            self.collected_params = (
+                None if cp is None else [t.clone() for t in cp])
+
     return ExponentialMovingAverage
 
 
