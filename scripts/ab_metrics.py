@@ -29,6 +29,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def load_gray(path):
+    if path.endswith(".npy"):
+        # raw render in [0, 1] (the reference's validation/raw/*.npy)
+        a = np.load(path).astype(np.float32)
+        if a.ndim == 3:
+            a = a[..., 0] if a.shape[-1] == 1 else a @ np.asarray(
+                [0.299, 0.587, 0.114], np.float32)
+        return np.clip(a, 0.0, 1.0)
     im = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     assert im is not None, path
     return im.astype(np.float32) / 255.0

@@ -46,12 +46,16 @@ fi
 
 if [ "$WHAT" = metrics ] || [ "$WHAT" = all ]; then
   echo "=== METRICS $SCENE ==="
+  # reference side: RAW (uncorrected) final-epoch renders, corrected by the
+  # SAME shared implementation as ours; gt pngs are epoch-independent
   REF_WS=$OUT/ref/ab/$SCENE/ab_mini/${SCENE}_${SCENE}_enerf
-  REF_LAST=$(ls "$REF_WS/validation/prediction/" 2>/dev/null \
+  REF_LAST=$(ls "$REF_WS/validation/raw/" 2>/dev/null \
+    | sed -E 's/.*_ep([0-9]+)_.*/\1/' | sort -n | tail -1)
+  REF_GT_EP=$(ls "$REF_WS/validation/gt/" \
     | sed -E 's/.*_ep([0-9]+)_.*/\1/' | sort -n | tail -1)
   python scripts/ab_metrics.py \
-    --pred "$REF_WS/validation/prediction/*_ep${REF_LAST}_*.png" \
-    --gt   "$REF_WS/validation/gt/*_ep${REF_LAST}_*_gt.png" \
+    --pred "$REF_WS/validation/raw/*_ep${REF_LAST}_*.npy" \
+    --gt   "$REF_WS/validation/gt/*_ep${REF_GT_EP}_*_gt.png" \
     --label "ref_$SCENE" | tee -a "$OUT/results.jsonl"
   OURS_WS=$OUT/ours/ab/$SCENE
   OURS_LAST=$(ls "$OURS_WS/validation/prediction/" \
