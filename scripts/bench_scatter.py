@@ -118,9 +118,6 @@ def main():
     return results
 
 
-if __name__ == "__main__":
-    main()
-    bench_encoder_backward()
 
 
 def bench_encoder_backward():
@@ -152,3 +149,8 @@ def bench_encoder_backward():
         print(f"encoder bwd {name}: scatter {dt_b*1e3:7.2f} ms | "
               f"segsum {dt_s*1e3:7.2f} ms | speedup {dt_b/dt_s:5.2f}x "
               f"({n/1e3:.0f}k pts x {meta.num_levels} levels)")
+
+
+if __name__ == "__main__":
+    main()
+    bench_encoder_backward()

@@ -417,7 +417,8 @@ def install_stubs():
     nb = _stub("numba")
     nb.jit = lambda *a, **k: (a[0] if a and callable(a[0]) else (lambda f: f))
     nb.njit = nb.jit
-    _stub("mcubes", marching_cubes=lambda *a, **k: (None, None))
+    _stub("mcubes", marching_cubes=lambda *a, **k: (
+        __import__("numpy").zeros((0, 3)), __import__("numpy").zeros((0, 3), dtype=int)))
 
     class _LPIPS:
         """Inert lpips.LPIPS: returns zeros shaped for the reference's
