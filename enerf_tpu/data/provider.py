@@ -721,6 +721,13 @@ def make_providers(cfg, select_frames=None):
     """Build (train_provider, val_provider) from cfg (reference main_nerf
     dataset dispatch).  esim mode reads cfg.datadir; 'synthetic' generates
     data in-process (used by tests/bench and as a smoke dataset)."""
+    if select_frames is None and (cfg.train_idxs or cfg.val_idxs):
+        # callers that don't pre-build the reference's select_frames dict
+        # still get the config's frame selection (main_nerf.py:14-42 role)
+        select_frames = {"train_idxs": cfg.train_idxs,
+                         "val_idxs": cfg.val_idxs,
+                         "test_idxs": cfg.test_idxs,
+                         "exclude_idxs": cfg.exclude_idxs}
     if cfg.mode == "synthetic":
         data = synthetic.simulate_events(
             H=cfg.H, W=cfg.W, C=abs(cfg.C_thres) if cfg.C_thres > 0 else 0.2,
@@ -822,11 +829,18 @@ def make_providers(cfg, select_frames=None):
         apply_scene_pose_offset(cfg.datadir, data,
                                 pp_poses_sphere=bool(cfg.pp_poses_sphere))
         _maybe_write_transforms(cfg, data)
+        # val split honors val_idxs (reference get_frames selection,
+        # main_nerf.py:14-42) — previously the tumvie/eds val provider
+        # evaluated ALL loaded frames, which at 120 views made full eval
+        # passes (view + stereo view each) prohibitively slow
+        va_idx = (select_frames or {}).get("val_idxs") or list(
+            range(len(data["images"])))
+        va_idx = [i for i in va_idx if i < len(data["images"])]
         stereo = None
         if cfg.eval_stereo_views:
             # event-camera views at the val image timestamps
             interp_ev = make_pose_interpolator(data["hf_ts"], data["hf_poses"])
-            ev_poses = interp_ev(data["tss_imgs_ns"])
+            ev_poses = interp_ev(data["tss_imgs_ns"][va_idx])
             stereo = [
                 {"pose": np.vstack([p, [0, 0, 0, 1]]),
                  "intrinsics": data["intrinsics_evs"],
@@ -834,8 +848,8 @@ def make_providers(cfg, select_frames=None):
                 for p in ev_poses
             ]
         val = FramesProvider(
-            data["images"], data["poses"], data["intrinsics"],
-            num_rays=cfg.num_rays, stereo_views=stereo,
+            data["images"][va_idx], data["poses"][va_idx],
+            data["intrinsics"], num_rays=cfg.num_rays, stereo_views=stereo,
         )
         if cfg.events:
             train = EventProvider(

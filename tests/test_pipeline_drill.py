@@ -171,6 +171,9 @@ def test_tumvie_pipeline_drill(tmp_path_factory):
         batch_size_evs=1024, num_rays=1024, C_thres=0.015, linlog=1,
         negative_event_sampling=0, num_steps=48, upsample_steps=0,
         bound=1.0, scale=0.33, iters=200, eval_interval=2,
+        # without val_idxs the tumvie val split is ALL 120 frames — the
+        # CPU eval (full view + stereo view each) would take hours
+        val_idxs=[20, 60, 100],
         outdir=outdir, expname="drill", expweek="t", ckpt="scratch",
         lr=5e-3, max_ray_batch=4096, log_every=50, fuse_steps=1,
     ).validate()
