@@ -219,6 +219,13 @@ def event_loss_fn(params, ss, batch, rng, occ=None):
         for k, v in losses.estimate_implicit_C(pol, delta).items()
     )
 
+    if "weights_sum" in out1:
+        # mist telemetry (round-2 diagnosis; VERDICT r4 item 1): mean ray
+        # opacity of the first render — the gauge-mode indicator.  A misty
+        # field sits well below 1; an opaque carve approaches it.
+        aux["ws_mean"] = jax.lax.stop_gradient(jnp.mean(
+            out1["weights_sum"].astype(jnp.float32)))
+
     if ss.w_distortion > 0.0 and "weights" in out1:
         l_dist = ss.w_distortion * 0.5 * (
             distortion_loss(out1["weights"], out1["ts"], out1["dts"])

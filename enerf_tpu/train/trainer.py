@@ -583,6 +583,13 @@ class Trainer:
         collective program), only process 0 writes images.
         """
         save = save and self.primary
+        if self.occupancy is not None:
+            # mist telemetry (VERDICT r4 item 1): track what the march's
+            # occupancy feedback has done to the grid at every eval
+            occ_frac = float(jnp.mean(
+                self.occupancy.occ_bitfield.astype(jnp.float32)))
+            self.log(f"[occ] occupied fraction {occ_frac:.4f} "
+                     f"mean_density {float(self.occupancy.mean_density):.5f}")
         views = provider.val_views()
         preds, gts, depths = [], [], []
         for v in views:
