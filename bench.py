@@ -23,6 +23,11 @@ import sys
 import time
 
 import jax
+
+# The axon TPU plugin ignores JAX_PLATFORMS; honor the same explicit
+# override main.py uses so CPU smoke-tests cannot touch a busy chip.
+if os.environ.get("ENERF_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["ENERF_PLATFORM"])
 import jax.numpy as jnp
 
 _FALLBACK_ANCHOR = 157_000.0
@@ -77,6 +82,14 @@ def main(argv=None):
     # The reference 16x2xblk4 shape: --num_levels 16 --level_dim 2
     # --grid_block 4 --share_march 0 (158.9k, 1.01x).
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["march", "fixed"], default="march",
+                    help="march: occupancy-march production step (driver "
+                         "metric).  fixed: the uniform fixed-step event "
+                         "step — the reference's actual enerf-config path "
+                         "(cuda_ray=False, num_steps=512, main_nerf.py:145) "
+                         "and the path the quality flagship trains on; "
+                         "prints one line per --fixed_steps value.")
+    ap.add_argument("--fixed_steps", type=int, nargs="*", default=[128, 512])
     ap.add_argument("--n_rays", type=int, default=8192)
     ap.add_argument("--num_samples", type=int, default=32)
     ap.add_argument("--compact_frac", type=float, default=0.25)
@@ -90,6 +103,69 @@ def main(argv=None):
                     help="table backward via sort+segment-sum "
                          "(block_encode_segsum) instead of scatter-add")
     args = ap.parse_args(argv)
+
+    if args.mode == "fixed":
+        # Quality-path bench (VERDICT r4 item 5): the uniform fixed-step
+        # event step at the flagship's as-trained encoder shape (16x2 blk4
+        # — main.py defaults).  num_steps=512 matches the reference's
+        # production enerf configs AND the calibration anchor's shape
+        # (BASELINE_CALIBRATION.json: run() at 512 samples/ray), so the
+        # 512 line's vs_baseline is the like-for-like quality-path
+        # comparison; other step counts scale the anchor by samples/ray
+        # (per-ray cost is linear in samples on both sides).
+        from enerf_tpu.render.renderer import render_rays
+        n_rays = args.n_rays
+        static = FieldStatic(
+            bound=1.0, out_dim_color=1, encoding="blockgrid",
+            compute_dtype=jnp.bfloat16, grid_block=4,
+            num_levels=16, level_dim=2,
+        )
+        params = init_field_params(jax.random.PRNGKey(0), static)
+        state, opt = init_train_state(params, lr0=1e-2, iters=10000)
+        key = jax.random.PRNGKey(1)
+        d = jax.random.normal(key, (n_rays, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (n_rays, 1))
+        pols = jnp.ones((n_rays,), jnp.float32)
+
+        for ns in args.fixed_steps:
+            def loss_fn(params, rng, _ns=ns):
+                k1, k2 = jax.random.split(rng)
+                bg = jnp.full((n_rays, 1), 0.5)
+                out1 = render_rays(params, static, o, d, num_steps=_ns,
+                                   perturb=True, rng=k1, bg_color=bg)
+                out2 = render_rays(params, static, o + 0.01, d, num_steps=_ns,
+                                   perturb=True, rng=k2, bg_color=bg)
+                ll1 = losses.log_intensity(out1["image"], use_luma=False)
+                ll2 = losses.log_intensity(out2["image"], use_luma=False)
+                return losses.event_loss(
+                    (ll2 - ll1)[None], pols[None, :, None], C_thres=0.2)
+
+            @jax.jit
+            def step(state, rng):
+                loss, grads = jax.value_and_grad(loss_fn)(state.params, rng)
+                return apply_updates(state, grads, opt), loss
+
+            state2, loss = step(state, jax.random.PRNGKey(2))
+            jax.block_until_ready(state2.params)
+            float(loss)
+            iters = 5
+            t0 = time.perf_counter()
+            for i in range(iters):
+                state2, loss = step(state2, jax.random.PRNGKey(3 + i))
+            float(loss)
+            jax.block_until_ready(state2.params)
+            dt = (time.perf_counter() - t0) / iters
+            rays_s = 2 * n_rays / dt
+            anchor = BASELINE_RAYS_S * 512.0 / ns
+            print(json.dumps({
+                "metric": f"rays_per_s_per_chip_fwd_bwd_fixed{ns}steps",
+                "value": round(rays_s, 1),
+                "unit": "rays/s",
+                "samples_per_s": round(rays_s * ns, 0),
+                "vs_baseline": round(rays_s / anchor, 3),
+            }))
+        return
 
     n_rays = args.n_rays   # per-render ray batch (x2 renders per step)
     num_samples = args.num_samples  # live-sample buffer (mean_count analogue)
