@@ -102,6 +102,12 @@ def main(argv=None):
     ap.add_argument("--segsum_grad", type=int, default=0,
                     help="table backward via sort+segment-sum "
                          "(block_encode_segsum) instead of scatter-add")
+    ap.add_argument("--mxu", type=int, default=0,
+                    help="MXU-routed encode (block_encode_mxu): coarse "
+                         "levels via one-hot matmuls, fine backward "
+                         "scatter run-merged")
+    ap.add_argument("--mxu_rows", type=int, default=2048)
+    ap.add_argument("--coalesce_rounds", type=int, default=3)
     args = ap.parse_args(argv)
 
     if args.mode == "fixed":
@@ -178,6 +184,8 @@ def main(argv=None):
         num_levels=args.num_levels, level_dim=args.level_dim,
         bf16_gather=bool(args.bf16_gather),
         segsum_table_grad=bool(args.segsum_grad),
+        mxu_encode=bool(args.mxu), mxu_rows=args.mxu_rows,
+        coalesce_rounds=args.coalesce_rounds,
     )
     params = init_field_params(jax.random.PRNGKey(0), static)
     state, opt = init_train_state(params, lr0=1e-2, iters=10000)

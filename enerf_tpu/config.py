@@ -132,6 +132,13 @@ class Config:
                                 # abort at the first non-finite loss;
                                 # 2 = also enable jax_debug_nans (traps the
                                 # producing op; slow). 0 = log-only sentinel
+    mxu_grad: int = 0           # MXU-routed blockgrid encode
+                                # (ops/blockgrid.block_encode_mxu): coarse
+                                # levels via exact one-hot matmuls, fine
+                                # backward scatter run-merged. 1 = on.
+    mxu_rows: int = 2048        # n_rows threshold for the matmul routing
+    coalesce_rounds: int = 3    # pairwise run-merge passes on the fine
+                                # scatter stream (0: off)
     segsum_grad: int = 0        # blockgrid table backward via sort +
                                 # prefix-sum segment reduce + sorted-unique
                                 # scatter (ops/blockgrid.block_encode_segsum)

@@ -45,6 +45,7 @@ class FieldStatic:
             self.encoding, self.grid_meta, self.use_fused_head,
             self.fast_table_grad, self.grid_block, self.bf16_gather,
             self.density_bias, self.segsum_table_grad, self.position_grads,
+            self.mxu_encode, self.mxu_rows, self.coalesce_rounds,
         )
 
     def __hash__(self):
@@ -94,6 +95,16 @@ class FieldStatic:
                                # segment reduce + sorted-unique scatter
                                # (ops/blockgrid.block_encode_segsum) instead
                                # of XLA's duplicate-index scatter-add
+        mxu_encode=False,      # MXU-routed encode (blockgrid only,
+                               # ops/blockgrid.block_encode_mxu): coarse
+                               # levels' gather/scatter pair becomes exact
+                               # one-hot matmuls; the fine-level backward
+                               # scatter stream is run-merged (along-ray
+                               # duplicate rows) before the scatter-add.
+                               # Zero position grads (rays are data).
+        mxu_rows=2048,         # n_rows threshold for the matmul routing
+        coalesce_rounds=3,     # pairwise run-merge passes on the fine
+                               # scatter stream (0: off)
         position_grads=False,  # with segsum_table_grad: also compute exact
                                # dL/dx (reference dy_dx, gridencoder.cu:176-
                                # 221) — pose-refinement workloads.  The
@@ -107,6 +118,9 @@ class FieldStatic:
         self.segsum_table_grad = bool(segsum_table_grad)
         self.position_grads = bool(position_grads)
         self.bf16_gather = bool(bf16_gather)
+        self.mxu_encode = bool(mxu_encode)
+        self.mxu_rows = int(mxu_rows)
+        self.coalesce_rounds = int(coalesce_rounds)
         self.density_bias = float(density_bias)
         self.bound = float(bound)
         self.num_layers = num_layers
@@ -256,6 +270,10 @@ def _encode(params, static, x01):
             from enerf_tpu.ops.blockgrid import block_encode_segsum
             return block_encode_segsum(x01, table, static.grid_meta,
                                        static.position_grads)
+        if static.mxu_encode:
+            from enerf_tpu.ops.blockgrid import block_encode_mxu
+            return block_encode_mxu(x01, table, static.grid_meta,
+                                    static.mxu_rows, static.coalesce_rounds)
         if static.fast_table_grad:
             from enerf_tpu.ops.scatter_accum import block_encode_fast
             return block_encode_fast(x01, table, static.grid_meta)

@@ -461,3 +461,187 @@ def _bes_bwd(meta, compute_dx, res, g, point_chunk=1 << 16):
 
 
 block_encode_segsum.defvjp(_bes_fwd, _bes_bwd)
+
+
+# ---------------------------------------------------------------------------
+# MXU-routed encode (round-4 attack on the two measured cost centers at the
+# reference shape: address-bound forward gathers and the ~64 GB/s backward
+# scatter-add).  Two exact, quality-neutral re-routings:
+#
+# 1. COARSE levels (n_rows <= mxu_max_rows): the gather/scatter pair is
+#    replaced by one-hot MATMULS on the MXU.  rows = onehot(rid) @ table_l
+#    forward, gtab_l = onehot(rid)^T @ grad_rows backward — exact (the
+#    one-hot has a single 1.0 per row; f32 accumulation), and the flop
+#    cost n*R*row_width is tiny for small R.  This removes those levels'
+#    per-row address generation (forward) and duplicate-heavy RMW
+#    (backward: a 125-row level absorbs ~1000 updates/row from a 131k
+#    stream).  Contention pattern being replaced: gridencoder.cu:225-311.
+#
+# 2. FINE levels keep the gather forward, but the backward update stream
+#    is RUN-MERGED before the scatter: per-ray compaction preserves
+#    t-order (render/march.py), so consecutive samples land in the SAME
+#    block row for every level whose block span exceeds dt — the stream
+#    has long runs of equal row ids.  `coalesce_rounds` pairwise-merge
+#    rounds (all elementwise, one diminishing pass each) sum adjacent
+#    equal-id rows and retire the duplicates to a sentinel row that the
+#    scatter drops, cutting the read-modify-write traffic by up to
+#    2^rounds while reading the update stream exactly once more.
+#
+# Position gradients are zero (rays are data in training — same contract
+# as block_encode_bf16); use block_encode_segsum(compute_dx=True) for the
+# reference's dy_dx role.
+
+
+def _mxu_split(meta, mxu_max_rows):
+    """Static level split: ([coarse level ids], [fine level ids])."""
+    coarse = [l for l in range(meta.num_levels)
+              if int(meta.n_rows[l]) <= int(mxu_max_rows)]
+    fine = [l for l in range(meta.num_levels) if l not in coarse]
+    return coarse, fine
+
+
+def _encode_chunk_mxu(x, table, meta, mxu_max_rows):
+    """Forward of block_encode with coarse-level rows from one-hot matmuls.
+
+    Exact-equal to _encode_chunk: the one-hot row has a single 1.0, so the
+    f32 dot reproduces the gathered row bit-for-bit.
+    """
+    L, C, RC = meta.num_levels, meta.level_dim, meta.row_cells
+    coarse, fine = _mxu_split(meta, mxu_max_rows)
+
+    rid_local, lo, frac = block_address(x, meta)
+    W = _trilinear_weights(lo, frac, meta)                 # [n, L, RC]
+
+    rows_parts = [None] * L
+    if fine:
+        fid = jnp.asarray(fine, jnp.int32)
+        rid_f = rid_local[:, fid] + meta._offsets_dev[fid][None, :]
+        rows_f = table[rid_f]                              # [n, Lf, RC*C]
+        for i, l in enumerate(fine):
+            rows_parts[l] = rows_f[:, i]
+    for l in coarse:
+        R = int(meta.n_rows[l])
+        off = int(meta.offsets[l])
+        tab_l = jax.lax.dynamic_slice_in_dim(table, off, R, axis=0)
+        onehot = (rid_local[:, l, None]
+                  == jnp.arange(R, dtype=jnp.int32)[None, :])
+        rows_parts[l] = jnp.dot(onehot.astype(table.dtype), tab_l,
+                                preferred_element_type=jnp.float32)
+
+    rows = jnp.stack(rows_parts, axis=1)                   # [n, L, RC*C]
+    Wd = W.astype(rows.dtype)
+    feats = [
+        jnp.sum(Wd * rows[..., c * RC:(c + 1) * RC], axis=-1)
+        for c in range(C)
+    ]
+    return jnp.stack(feats, axis=-1)                       # [n, L, C]
+
+
+def _run_merge(rows, keys, sentinel, rounds):
+    """Pairwise run-merge: `rounds` passes, each summing adjacent rows with
+    equal keys and retiring the absorbed row to `sentinel`.
+
+    rows: [M, D]; keys: [M] int32 (scatter-ready flat ids, sentinel for
+    padding).  Returns (rows, keys) of the SAME shape — merged rows carry
+    the run sums, absorbed rows are zeroed with key=sentinel (the caller's
+    scatter drops them).  Pass k merges at stride 2^k, so a run of length
+    2^rounds collapses to one live row.
+    """
+    M, D = rows.shape
+    for r in range(rounds):
+        s = 1 << r
+        pairs = M // (2 * s)
+        rk = keys.reshape(pairs, 2, s)
+        rv = rows.reshape(pairs, 2, s, D)
+        # merge slot 1 into slot 0 where the (stride-aligned) keys match
+        # and both are live; runs are contiguous so equal keys at the
+        # aligned position imply one run spanning the pair.
+        same = (rk[:, 0] == rk[:, 1]) & (rk[:, 0] != sentinel)
+        rows0 = rv[:, 0] + jnp.where(same[..., None], rv[:, 1], 0.0)
+        rows1 = jnp.where(same[..., None], 0.0, rv[:, 1])
+        keys1 = jnp.where(same, sentinel, rk[:, 1])
+        rows = jnp.stack([rows0, rows1], axis=1).reshape(M, D)
+        keys = jnp.stack([rk[:, 0], keys1], axis=1).reshape(M)
+    return rows, keys
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def block_encode_mxu(x01, table, meta, mxu_max_rows=2048, coalesce_rounds=3):
+    """block_encode with MXU-routed coarse levels and a run-merged fine
+    scatter backward (see module-level round-4 note).  Forward output is
+    the same math as block_encode (one-hot f32 matmul == gather), equal up
+    to f32 reduction-order noise from different XLA fusions; the table
+    gradient is likewise the same sum in a different association order."""
+    N = x01.shape[0]
+    L, C = meta.num_levels, meta.level_dim
+    x = x01.astype(jnp.float32)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    x = jnp.clip(x, 0.0, 1.0)
+    out = _encode_chunk_mxu(x, table, meta, mxu_max_rows)
+    out = jnp.where(oob[:, None, None], 0.0, out)
+    return out.reshape(N, L * C)
+
+
+def _bem_fwd(x01, table, meta, mxu_max_rows, coalesce_rounds):
+    return block_encode_mxu(x01, table, meta, mxu_max_rows,
+                            coalesce_rounds), x01
+
+
+def _bem_bwd(meta, mxu_max_rows, coalesce_rounds, x01, g):
+    N = x01.shape[0]
+    L, C, RC = meta.num_levels, meta.level_dim, meta.row_cells
+    D = RC * C
+    coarse, fine = _mxu_split(meta, mxu_max_rows)
+
+    x = jnp.clip(x01.astype(jnp.float32), 0.0, 1.0)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)
+    g = jnp.where(oob[:, None, None], 0.0,
+                  g.reshape(N, L, C).astype(jnp.float32))
+
+    rid_local, lo, frac = block_address(x, meta)
+    W = _trilinear_weights(lo, frac, meta)                 # [n, L, RC]
+
+    def grad_rows(levels):
+        ids = jnp.asarray(levels, jnp.int32)
+        Wl = W[:, ids]                                     # [n, k, RC]
+        gl = g[:, ids]                                     # [n, k, C]
+        return jnp.concatenate(
+            [gl[..., c:c + 1] * Wl for c in range(C)], axis=-1)  # [n,k,D]
+
+    gtab = jnp.zeros((meta.total_rows + 1, D), jnp.float32)
+    if fine:
+        fid = jnp.asarray(fine, jnp.int32)
+        keys = rid_local[:, fid] + meta._offsets_dev[fid][None, :]
+        rows = grad_rows(fine)                             # [n, Lf, D]
+        # level-major layout keeps each level's along-ray runs contiguous
+        rows = jnp.swapaxes(rows, 0, 1).reshape(-1, D)
+        keys = jnp.swapaxes(keys, 0, 1).reshape(-1)
+        sentinel = jnp.int32(meta.total_rows)
+        if coalesce_rounds > 0:
+            M = rows.shape[0]
+            pad = (-M) % (1 << coalesce_rounds)
+            if pad:
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((pad, D), rows.dtype)], 0)
+                keys = jnp.concatenate(
+                    [keys, jnp.full((pad,), sentinel)], 0)
+            rows, keys = _run_merge(rows, keys, sentinel, coalesce_rounds)
+        gtab = gtab.at[keys].add(rows, mode="drop")
+    gtab = gtab[:-1]
+
+    for l in coarse:
+        R = int(meta.n_rows[l])
+        off = int(meta.offsets[l])
+        onehot = (rid_local[:, l, None]
+                  == jnp.arange(R, dtype=jnp.int32)[None, :])
+        G_l = grad_rows([l])[:, 0]                         # [n, D]
+        gtab_l = jnp.dot(onehot.astype(jnp.float32).T, G_l,
+                         preferred_element_type=jnp.float32)
+        gtab = jax.lax.dynamic_update_slice_in_dim(
+            gtab, gtab_l + jax.lax.dynamic_slice_in_dim(gtab, off, R, 0),
+            off, axis=0)
+
+    return jnp.zeros_like(x01), gtab
+
+
+block_encode_mxu.defvjp(_bem_fwd, _bem_bwd)

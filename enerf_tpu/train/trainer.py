@@ -79,6 +79,9 @@ class Trainer:
             bf16_gather=(None if cfg.bf16_gather < 0
                          else bool(cfg.bf16_gather)),
             segsum_table_grad=bool(cfg.segsum_grad),
+            mxu_encode=bool(getattr(cfg, "mxu_grad", 0)),
+            mxu_rows=int(getattr(cfg, "mxu_rows", 2048)),
+            coalesce_rounds=int(getattr(cfg, "coalesce_rounds", 3)),
             position_grads=bool(cfg.position_grads),
             density_bias=cfg.density_bias,
             hidden_dim=cfg.hidden_dim,

@@ -261,3 +261,80 @@ def test_segsum_backward_matches_autodiff():
                          point_chunk=1024)[1]
     np.testing.assert_allclose(np.asarray(gb_new), np.asarray(gb_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_run_merge_preserves_sums():
+    """_run_merge: arbitrary key streams — merged rows + survivors must
+    scatter-add to exactly the same table as the raw stream."""
+    from enerf_tpu.ops.blockgrid import _run_merge
+
+    rng = np.random.RandomState(0)
+    M, D, R = 64, 5, 7
+    # runs of random lengths over R keys (ray-like), plus sentinel pads
+    keys = np.repeat(rng.randint(0, R, size=20), rng.randint(1, 8, size=20))[:M]
+    keys = np.pad(keys, (0, M - len(keys)), constant_values=R).astype(np.int32)
+    rows = rng.randn(M, D).astype(np.float32)
+    rows[keys == R] = 0.0
+    mrows, mkeys = _run_merge(jnp.asarray(rows), jnp.asarray(keys),
+                              jnp.int32(R), rounds=3)
+    ref = np.zeros((R + 1, D), np.float32)
+    np.add.at(ref, keys, rows)
+    got = np.zeros((R + 1, D), np.float32)
+    np.add.at(got, np.asarray(mkeys), np.asarray(mrows))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # the merge must actually merge: fewer live rows than inputs
+    assert int(np.sum(np.asarray(mkeys) != R)) < int(np.sum(keys != R))
+
+
+def test_mxu_encode_matches_block_encode():
+    """block_encode_mxu: forward must be EXACTLY block_encode (one-hot
+    matmul of exact 0/1 in f32); the table VJP matches autodiff up to f32
+    reassociation noise, on a ray-ordered stream (real run structure)."""
+    from enerf_tpu.ops.blockgrid import (
+        BlockGridMeta, init_block_table, block_encode, block_encode_mxu,
+    )
+
+    meta = BlockGridMeta(num_levels=5, level_dim=2, log2_hashmap_size=14,
+                         desired_resolution=256, block=3)
+    # want all three routes: matmul (small dense), gather+scatter (hashed)
+    assert (meta.n_rows <= 256).any() and (meta.n_rows > 256).any()
+    tbl = init_block_table(jax.random.PRNGKey(0), meta)
+
+    # ray-ordered positions: 32 rays x 64 samples marching through the box
+    n_rays, S = 32, 64
+    o = jax.random.uniform(jax.random.PRNGKey(1), (n_rays, 1, 3),
+                           minval=0.05, maxval=0.3)
+    d = jax.random.normal(jax.random.PRNGKey(2), (n_rays, 1, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.linspace(0.0, 0.9, S)[None, :, None]
+    x = (o + jnp.abs(d) * t).reshape(-1, 3)   # stays mostly in [0, 1]
+    ct = jax.random.normal(jax.random.PRNGKey(3),
+                           (x.shape[0], meta.output_dim))
+
+    for mxu_rows, rounds in ((256, 3), (256, 0), (0, 3)):
+        out = block_encode_mxu(x, tbl, meta, mxu_rows, rounds)
+        # same math; XLA fuses the 125-wide contraction differently around
+        # the matmul vs the gather, so allow f32 reduction-order noise
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(block_encode(x, tbl, meta)),
+                                   atol=1e-8, rtol=1e-5)
+        g_ref = jax.grad(
+            lambda t_: jnp.sum(block_encode(x, t_, meta) * ct))(tbl)
+        g_new = jax.grad(lambda t_: jnp.sum(
+            block_encode_mxu(x, t_, meta, mxu_rows, rounds) * ct))(tbl)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-4)
+    # zero position grads by contract
+    dx = jax.grad(
+        lambda xx: jnp.sum(block_encode_mxu(xx, tbl, meta, 256, 3) * ct))(x)
+    assert np.all(np.asarray(dx) == 0.0)
+
+    # out-of-bounds rows must contribute nothing (parity with block_encode)
+    xo = jnp.concatenate([x[:16], jnp.full((4, 3), 1.5)], 0)
+    cto = ct[:20]
+    go_ref = jax.grad(
+        lambda t_: jnp.sum(block_encode(xo, t_, meta) * cto))(tbl)
+    go_new = jax.grad(lambda t_: jnp.sum(
+        block_encode_mxu(xo, t_, meta, 256, 3) * cto))(tbl)
+    np.testing.assert_allclose(np.asarray(go_new), np.asarray(go_ref),
+                               atol=1e-5, rtol=1e-5)
