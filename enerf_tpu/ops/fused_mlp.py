@@ -122,7 +122,12 @@ def _bwd(res, cots):
     # reference path with the clamp applied.
     def f(enc, denc, *ws):
         sigma_raw, rgb = _head_math(enc, denc, *ws)
-        sigma = jnp.exp(jnp.clip(sigma_raw, -15.0, 15.0))
+        # trunc_exp semantics (activation.py:5-18): forward exp(x), grad
+        # g * exp(clamp(x, -15, 15)).  Differentiating exp(clip(x)) would
+        # instead ZERO the gradient outside the clamp (clip has zero
+        # slope) — use the op with the reference's custom VJP.
+        from enerf_tpu.ops.trunc_exp import trunc_exp
+        sigma = trunc_exp(sigma_raw)
         return sigma, rgb
 
     _, vjp = jax.vjp(f, enc, denc, *weights)

@@ -315,6 +315,8 @@ def train_step_events(state, batch, rng, ss, opt, occ=None):
     new_state = apply_updates(state, grads, opt)
     out = {"loss": loss, "loss_evs": aux["loss_evs"]}
     for k in aux:
-        if k.startswith("implC_") or k in ("loss_frames", "loss_no_evs", "loss_opacity"):
+        if k.startswith("implC_") or k in (
+                "loss_frames", "loss_no_evs", "loss_opacity",
+                "loss_distortion", "ws_mean"):
             out[k] = aux[k]
     return new_state, out

@@ -33,6 +33,14 @@ def main(argv=None):
     ap.add_argument("--max_steps", type=int, default=1024)
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--block", type=int, default=16,
+                    help="alive-ray window size (samples per while-loop "
+                         "iteration)")
+    ap.add_argument("--build_occ", type=int, default=0,
+                    help="build the occupancy grid from the trained field "
+                         "with N update_occupancy passes — for checkpoints "
+                         "trained on the fixed-step path (cuda_ray=False), "
+                         "which carry no occupancy state")
     args = ap.parse_args(argv)
 
     import jax
@@ -71,6 +79,14 @@ def main(argv=None):
     assert path, f"no checkpoint under {args.workspace}"
     state, occ, meta = load_checkpoint(path, state, occ)
     params = state.ema_params
+    if args.build_occ:
+        from enerf_tpu.render.occupancy import update_occupancy
+        k = jax.random.PRNGKey(7)
+        for i in range(args.build_occ):
+            k, ku = jax.random.split(k)
+            occ = update_occupancy(params, static, occ, ku,
+                                   density_scale=cfg["density_scale"],
+                                   density_thresh=cfg["density_thresh"])
     print(f"loaded {os.path.basename(path)}; occupancy occupied frac "
           f"{float(jnp.mean(occ.occ_bitfield.astype(jnp.float32))):.4f}")
 
@@ -99,7 +115,7 @@ def main(argv=None):
             o = render_rays_infer(
                 params, static, occ.occ_bitfield,
                 ro[s:s + args.chunk], rd[s:s + args.chunk],
-                block=16, max_steps=args.max_steps,
+                block=args.block, max_steps=args.max_steps,
                 bg_color=1.0, min_near=cfg["min_near"],
                 density_scale=cfg["density_scale"],
                 dt_gamma=cfg["dt_gamma"])
