@@ -41,22 +41,18 @@ def load_gray(path):
     return im.astype(np.float32) / 255.0
 
 
-def main(argv=None):
+def compute(pred_glob, gt_glob):
+    """Plain + corrected metrics for one set of renders.  Returns a dict
+    (shared by the CLI below and scripts/ab_wallclock.py)."""
     import jax
     jax.config.update("jax_platforms", "cpu")
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--pred", required=True, help="glob of prediction pngs")
-    ap.add_argument("--gt", required=True, help="glob of gt pngs")
-    ap.add_argument("--label", default="")
-    args = ap.parse_args(argv)
-
     from enerf_tpu.train.metrics import psnr, ssim, solve_normal_equations
 
-    preds = sorted(glob.glob(args.pred))
-    gts = sorted(glob.glob(args.gt))
-    assert preds, f"no predictions match {args.pred}"
+    preds = sorted(glob.glob(pred_glob))
+    gts = sorted(glob.glob(gt_glob))
+    assert preds, f"no predictions match {pred_glob}"
     assert len(preds) == len(gts), (
-        f"{len(preds)} preds vs {len(gts)} gts ({args.pred} | {args.gt})")
+        f"{len(preds)} preds vs {len(gts)} gts ({pred_glob} | {gt_glob})")
 
     p = np.stack([load_gray(f) for f in preds])  # [N, H, W] in [0,1]
     g = np.stack([load_gray(f) for f in gts])
@@ -75,13 +71,24 @@ def main(argv=None):
                               for pi, gi in zip(pc, g255)]))
     cor_ssim = float(np.mean([ssim(pi, gi, data_range=255.0)
                               for pi, gi in zip(pc, g255)]))
-    print(json.dumps({
-        "label": args.label, "n": len(preds),
+    return {
+        "n": len(preds),
         "psnr": round(plain_psnr, 3), "ssim": round(plain_ssim, 4),
         "affine_a": round(float(a), 4), "affine_b": round(float(b), 4),
         "psnr_corrected": round(cor_psnr, 3),
         "ssim_corrected": round(cor_ssim, 4),
-    }))
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pred", required=True, help="glob of prediction pngs")
+    ap.add_argument("--gt", required=True, help="glob of gt pngs")
+    ap.add_argument("--label", default="")
+    args = ap.parse_args(argv)
+    out = compute(args.pred, args.gt)
+    out["label"] = args.label
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
