@@ -225,9 +225,14 @@ def _bef_bwd(meta, x01, g_out):
     g = jnp.where(oob[:, None, None], 0.0,
                   g_out.reshape(N, L, 2).astype(jnp.float32))
     meta8 = jnp.concatenate([lo.astype(jnp.float32), g, frac], axis=-1)
+    # rows_max must be (8,128)-tile aligned for the kernel's HBM slices
+    # (Mosaic rejects sub-tile sublane slicing; e.g. 16x2 blk4 has 8388-row
+    # levels) — round up; pad rows absorb only zero-g sentinel lanes and
+    # are dropped by depad_level_grads.
+    rows_max = -(-int(meta.n_rows.max()) // 8) * 8
     per_level = block_table_grad_pallas(
         rid.T, jnp.transpose(meta8, (1, 0, 2)), L,
-        rows_max=int(meta.n_rows.max()), halo=meta.halo,
+        rows_max=rows_max, halo=meta.halo,
         row_cells=meta.row_cells)
     gtab = depad_level_grads(per_level, meta)
     return jnp.zeros_like(x01), gtab

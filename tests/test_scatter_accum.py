@@ -106,3 +106,23 @@ def test_block3_geometry_kernel_and_encode():
     xs = jax.random.uniform(jax.random.PRNGKey(3), (128, 3), minval=-1, maxval=1)
     sig, _ = field_density(params, static, xs)
     assert np.isfinite(np.asarray(sig)).all()
+
+
+def test_unaligned_level_rows_16x2_blk4():
+    """The production 16x2 blk4 shape has 8388-row levels (not mod-8).
+
+    Mosaic requires (8,128)-tile-aligned HBM slices, so the kernel's
+    rows_max must be rounded up — this shape crashed the remote compile
+    before the round-4 fix (bench.py --fast_table_grad at the reference
+    shape).  Grad must still match autodiff exactly."""
+    meta = BlockGridMeta(num_levels=16, level_dim=2, block=4)
+    assert int(meta.n_rows.max()) % 8 != 0  # the regression precondition
+    table = init_block_table(jax.random.PRNGKey(0), meta)
+    n = 257
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
+    g_out = jax.random.normal(jax.random.PRNGKey(2), (n, meta.num_levels * 2))
+    _, vjp = jax.vjp(lambda t: block_encode(x, t, meta), table)
+    gt = vjp(g_out)[0]
+    g_fast = jax.grad(
+        lambda t: jnp.sum(block_encode_fast(x, t, meta) * g_out))(table)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(gt), atol=1e-5)
