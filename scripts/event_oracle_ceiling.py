@@ -24,6 +24,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Pure-CPU analysis: force the CPU backend (default) so the oracle never
+# contends for the chip with a training run.  The axon TPU plugin ignores
+# JAX_PLATFORMS, so this must be an in-process config update before first
+# device use; override with ENERF_PLATFORM if ever needed.
+import jax  # noqa: E402
+jax.config.update("jax_platforms", os.environ.get("ENERF_PLATFORM", "cpu"))
+
 
 def main():
     ap = argparse.ArgumentParser()
