@@ -186,6 +186,14 @@ class Config:
                                 # step — so halving the warmup sample count
                                 # nearly halves warmup wall-clock while the
                                 # march phase keeps full num_steps for eval
+    occ_freeze_after: int = 0   # if > 0, stop occupancy-grid EMA updates
+                                # once global_step >= this value: the grid
+                                # stays frozen as last carved.  Breaks the
+                                # march's occupancy<->density feedback loop
+                                # (round-4 measured: a 0.19-occupied warm
+                                # carve re-mists to 0.62 within 2k march
+                                # steps when updates keep running —
+                                # ROUND4_STATUS.md / BENCH_NOTES round 4)
     ckpt_interval: int = 1      # epochs between rotating checkpoint saves
                                 # (each save pulls the full train state to
                                 # host — costly over a remote-TPU link)
@@ -215,6 +223,9 @@ class Config:
         assert self.warmup_num_steps >= 0, (
             f"warmup_num_steps must be >= 0, got {self.warmup_num_steps} "
             "(0 = use num_steps during the warmup phase)"
+        )
+        assert self.occ_freeze_after >= 0, (
+            f"occ_freeze_after must be >= 0, got {self.occ_freeze_after}"
         )
         if self.mode == "eds":
             assert self.pp_poses_sphere == 0, (

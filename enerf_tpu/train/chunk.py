@@ -38,7 +38,8 @@ from enerf_tpu.train.state import apply_updates
 
 
 def make_train_chunk(ss, opt, mode, sampler_statics, chunk_len=16,
-                     use_occ=True, density_scale=1.0, density_thresh=0.01,
+                     use_occ=True, freeze_occ=False,
+                     density_scale=1.0, density_thresh=0.01,
                      mesh=None):
     """Build chunk(state, occ, arrs, error_map, key) -> (state, occ,
     error_map, aux).
@@ -74,7 +75,10 @@ def make_train_chunk(ss, opt, mode, sampler_statics, chunk_len=16,
     n_lanes = mesh.devices.size if dp else 1
 
     def chunk_impl(state, occ, arrs, error_map, key):
-        if use_occ:
+        # freeze_occ (cfg.occ_freeze_after): keep serving the bitfield to
+        # the march but stop the EMA maintenance — breaks the
+        # occupancy<->density mist feedback loop (round-4 diagnosis)
+        if use_occ and not freeze_occ:
             key, k = jax.random.split(key)
             if dp:
                 # each chip queries 1/n of the grid cells; one psum merges

@@ -401,19 +401,22 @@ class Trainer:
                         jax.tree.map(np.asarray, arrs), self.mesh)
                 mode = "events" if cfg.events else "frames"
 
-                def get_chunk(warm):
+                def get_chunk(warm, frozen=False):
                     # warm: uniform fixed-step warmup windows (march off,
                     # cfg.march_warmup) — carve geometry before the march's
-                    # occupancy feedback can lock in the mist mode
+                    # occupancy feedback can lock in the mist mode.
+                    # frozen (cfg.occ_freeze_after): stop the occupancy EMA
+                    # maintenance, serve the grid as last carved.
                     from enerf_tpu.train.step import warm_statics
                     ss = warm_statics(self.ss) if warm else self.ss
                     ck = (mode, tuple(sorted(statics.items())), chunk_len,
-                          self.mesh is not None, warm)
+                          self.mesh is not None, warm, frozen)
                     if ck not in self._chunk_cache:
                         self._chunk_cache[ck] = make_train_chunk(
                             ss, self.opt, mode, statics,
                             chunk_len=chunk_len,
                             use_occ=self.occupancy is not None,
+                            freeze_occ=frozen,
                             density_scale=cfg.density_scale,
                             density_thresh=cfg.density_thresh,
                             mesh=self.mesh,
@@ -427,8 +430,10 @@ class Trainer:
                     emap = MH.replicate_from_host(np.asarray(emap), self.mesh)
                 while it + chunk_len <= steps_per_epoch:
                     key, k = jax.random.split(key)
+                    freeze_at = int(getattr(cfg, "occ_freeze_after", 0))
                     chunk_fn = get_chunk(
-                        global_step < int(getattr(cfg, "march_warmup", 0)))
+                        global_step < int(getattr(cfg, "march_warmup", 0)),
+                        frozen=freeze_at > 0 and global_step >= freeze_at)
                     self.state, self.occupancy, emap, aux = chunk_fn(
                         self.state, self.occupancy, arrs, emap, k)
                     prev = global_step
@@ -452,7 +457,11 @@ class Trainer:
                             f"(whole {chunk_len}-step windows)")
                     it = steps_per_epoch
             for it in range(it, steps_per_epoch):
-                if self.occupancy is not None and global_step % 16 == 0:
+                occ_frozen = (
+                    int(getattr(cfg, "occ_freeze_after", 0)) > 0
+                    and global_step >= int(cfg.occ_freeze_after))
+                if (self.occupancy is not None and global_step % 16 == 0
+                        and not occ_frozen):
                     key, k = jax.random.split(key)
                     self.occupancy = update_occupancy(
                         self.state.params, self.static, self.occupancy, k,
