@@ -57,12 +57,99 @@ def _tpu_relay_alive(port=8083):
         return False
 
 
+def _phase(name):
+    """Progress marker for the watchdog parent (stderr, line-buffered)."""
+    print(f"[bench-phase] {name}", file=sys.stderr, flush=True)
+
+
+def _watchdog_main():
+    """Run the measurement in a child process under a hard deadline.
+
+    Round-4 post-mortem (VERDICT r4 missing 1): the driver's bench run
+    timed out (rc=124) after printing nothing, so BENCH_r04.json parsed
+    null — a hang at device acquisition (busy/leased chip) or a compile
+    blowup is indistinguishable from outside.  The fix: the parent
+    re-executes bench.py as a child (ENERF_BENCH_CHILD=1) in its own
+    process group, tracks [bench-phase] markers from the child's stderr,
+    and on deadline kills the child and emits a DIAGNOSTIC JSON line
+    (value 0.0, error field says the last phase reached) so the driver
+    always records a parseable result.  Honest-by-construction: a
+    timeout reports 0.0, never a stale number.
+    """
+    import signal
+    import subprocess
+    import threading
+
+    budget = float(os.environ.get("ENERF_BENCH_BUDGET", "420"))
+    env = dict(os.environ, ENERF_BENCH_CHILD="1")
+    child = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__)] + sys.argv[1:],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, start_new_session=True, env=env)
+
+    state = {"phase": "spawn", "out": []}
+
+    def pump_err():
+        for line in child.stderr:
+            if line.startswith("[bench-phase] "):
+                state["phase"] = line[len("[bench-phase] "):].strip()
+            else:
+                sys.stderr.write(line)
+    terr = threading.Thread(target=pump_err, daemon=True)
+    terr.start()
+
+    def pump_out():
+        for line in child.stdout:
+            state["out"].append(line)
+    tout = threading.Thread(target=pump_out, daemon=True)
+    tout.start()
+
+    t0 = time.time()
+    try:
+        child.wait(timeout=budget)
+        terr.join(timeout=10)
+        tout.join(timeout=10)
+        sys.stdout.write("".join(state["out"]))
+        sys.stdout.flush()
+        if child.returncode != 0 and not state["out"]:
+            print(json.dumps({
+                "metric": "rays_per_s_per_chip_fwd_bwd_1024steps",
+                "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+                "error": f"bench child exited rc={child.returncode} at "
+                         f"phase '{state['phase']}' with no output",
+            }))
+            raise SystemExit(0)
+        raise SystemExit(child.returncode)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(child.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        print(json.dumps({
+            "metric": "rays_per_s_per_chip_fwd_bwd_1024steps",
+            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {budget:.0f}s; last "
+                     f"phase '{state['phase']}' at t={time.time()-t0:.0f}s "
+                     "(busy/leased chip or compile blowup — see "
+                     "BENCH_NOTES.md round 5)",
+        }))
+        raise SystemExit(0)
+
+
 def main(argv=None):
     if os.environ.get("JAX_PLATFORMS", "axon") == "axon" \
             and not _tpu_relay_alive():
         print("bench: TPU relay (127.0.0.1:8083) is down — refusing to "
               "hang on a dead tunnel", file=sys.stderr)
-        raise SystemExit(2)
+        print(json.dumps({
+            "metric": "rays_per_s_per_chip_fwd_bwd_1024steps",
+            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+            "error": "TPU relay (127.0.0.1:8083) down",
+        }))
+        raise SystemExit(0)
+    _phase("device-acquire")
+    jax.devices()          # blocks while another client holds the chip
+    _phase("imports")
     from enerf_tpu.models.field import FieldStatic, init_field_params
     from enerf_tpu.render.occupancy import init_occupancy, update_occupancy
     from enerf_tpu.render.march import render_rays_march, march_rays, composite_from_march
@@ -135,6 +222,8 @@ def main(argv=None):
         pols = jnp.ones((n_rays,), jnp.float32)
 
         for ns in args.fixed_steps:
+            _phase(f"compile-fixed{ns}")
+
             def loss_fn(params, rng, _ns=ns):
                 k1, k2 = jax.random.split(rng)
                 bg = jnp.full((n_rays, 1), 0.5)
@@ -155,6 +244,7 @@ def main(argv=None):
             state2, loss = step(state, jax.random.PRNGKey(2))
             jax.block_until_ready(state2.params)
             float(loss)
+            _phase(f"measure-fixed{ns}")
             iters = 5
             t0 = time.perf_counter()
             for i in range(iters):
@@ -241,9 +331,11 @@ def main(argv=None):
         return apply_updates(state, grads, opt), loss
 
     # warmup/compile
+    _phase("compile")
     state, loss = step(state, occ.occ_bitfield, jax.random.PRNGKey(2))
     jax.block_until_ready(state.params)
     float(loss)
+    _phase("measure")
 
     iters = 10
     t0 = time.perf_counter()
@@ -263,5 +355,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    import sys
-    main(sys.argv[1:])
+    if os.environ.get("ENERF_BENCH_CHILD"):
+        main(sys.argv[1:])
+    else:
+        _watchdog_main()

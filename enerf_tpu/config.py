@@ -193,7 +193,13 @@ class Config:
                                 # (round-4 measured: a 0.19-occupied warm
                                 # carve re-mists to 0.62 within 2k march
                                 # steps when updates keep running —
-                                # ROUND4_STATUS.md / BENCH_NOTES round 4)
+                                # ROUND4_STATUS.md / BENCH_NOTES round 4).
+                                # NOTE: in chunked mode (chunk_len > 1) the
+                                # freeze is evaluated at window boundaries,
+                                # so the effective freeze point rounds UP by
+                                # up to chunk_len-1 steps vs the per-step
+                                # path; set it to a multiple of chunk_len
+                                # when A/B-comparing the two execution paths
     ckpt_interval: int = 1      # epochs between rotating checkpoint saves
                                 # (each save pulls the full train state to
                                 # host — costly over a remote-TPU link)

@@ -10,9 +10,13 @@ Emits a markdown table with three comparison columns per scene:
 
   - final vs final     (each side's last eval — true equal-iters when both
                         sides completed their configured budget)
-  - common iters       (equal iters even when one side was truncated by
-                        wall clock — both sides at the largest iteration
-                        count both have an eval for)
+  - common iters       (equal-iters even when one side was truncated by
+                        wall clock — each side's last eval at or below
+                        min(final iters of both sides); eval cadences
+                        differ between the sides, so the two cells can sit
+                        at slightly different iteration counts — each
+                        cell prints its actual itN so the mismatch is
+                        visible)
   - equal wall-clock   (each side at the other's total elapsed time; from
                         the ab_wallclock summary line)
 
@@ -69,8 +73,13 @@ def main():
             print(f"| {sc} | — | (one side missing) | | |")
             continue
         target = min(max(ref), max(ours))
-        at = {"ref": ref[max(i for i in ref if i <= target)],
-              "ours": ours[max(i for i in ours if i <= target)]}
+        # Last eval <= target per side; if a side's earliest eval is
+        # already past the target (mismatched eval cadences), degrade to
+        # its earliest eval rather than crashing the whole table.
+        at = {}
+        for side, s in (("ref", ref), ("ours", ours)):
+            cand = [i for i in s if i <= target]
+            at[side] = s[max(cand)] if cand else s[min(s)]
         summ = summaries.get(sc, {})
         eq = summ.get("equal_wallclock", {})
         for side, s in (("ref", ref), ("ours", ours)):
