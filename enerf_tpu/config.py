@@ -217,6 +217,28 @@ class Config:
     geo_feat_dim: int = 15      # the MLPs are <1% of step time — wider
                                 # nets are a free quality lever,
                                 # BENCH_NOTES.md "Implications")
+    guard_collapse: int = 0     # divergence guard (VERDICT r4 weak 1: the
+                                # R4a flagship burned 50 epochs training
+                                # into washout collapse).  If 1: halt
+                                # training once the eval-time collapse
+                                # telemetry fires — guard_patience
+                                # consecutive evals with either the
+                                # corrected PSNR >= guard_psnr_drop dB
+                                # below the best seen, or (event_only)
+                                # affine gain a < guard_affine_a.  The
+                                # best-metric checkpoint is already saved,
+                                # so halting preserves the peak
+    guard_patience: int = 2     # consecutive bad evals before halting
+    guard_psnr_drop: float = 2.0
+    guard_affine_a: float = 0.4  # washout indicator: R4a's collapse ran
+                                # a 1.02 -> 0.20 while converged runs sit
+                                # near 1 (output/quality_r4 log, VERDICT)
+    eval_log: str = ""          # append one JSON line per eval to this
+                                # file (durability: VERDICT r4 weak 5 —
+                                # machine resets wiped completed eval
+                                # series twice; point this at a git-tracked
+                                # results/ file and commit at eval cadence,
+                                # scripts/commit_results.sh)
 
     def validate(self):
         """reference main_nerf.py:78-93 assert_config (with messages)."""

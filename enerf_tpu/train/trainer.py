@@ -509,12 +509,68 @@ class Trainer:
                     if self.primary:
                         self.ckpt.save_best(
                             self.state, self.occupancy, epoch, self.stats)
+                if self._eval_log(results, global_step):
+                    self.log(
+                        f"[guard] collapse: halting at epoch {epoch} — "
+                        f"{int(getattr(cfg, 'guard_patience', 2))} "
+                        f"consecutive bad evals (best corrected "
+                        f"{self.best_metric:.2f} dB is checkpointed); "
+                        "rerun from the best ckpt with a lower lr to "
+                        "continue")
+                    break
         if not prof["done"] and prof["until"] is not None:
             jax.block_until_ready(self.state.params)
             jax.profiler.stop_trace()  # run ended inside the trace window
             prof["done"] = True
         self.ckpt.wait()  # drain async checkpoint writes before returning
         self.log(f"[train] done at epoch {self.epoch}, step {global_step}")
+
+    def _eval_log(self, results, global_step):
+        """Durable eval record + divergence guard; returns True to halt.
+
+        Durability (VERDICT r4 weak 5): if cfg.eval_log is set, append one
+        JSON line per eval — point it at a git-tracked results/ file so a
+        machine reset costs at most one eval interval (pair with
+        scripts/commit_results.sh committing at eval cadence).
+
+        Guard (VERDICT r4 weak 1): the R4a flagship collapsed from
+        14.8 dB to 9.9 dB over 50 epochs with nobody watching, even
+        though the telemetry that detects washout (affine gain `a`,
+        corrected PSNR vs best) was already computed every eval.  With
+        cfg.guard_collapse, guard_patience consecutive evals that are
+        either >= guard_psnr_drop dB below the best corrected PSNR seen
+        or (event_only) have affine a < guard_affine_a halt the run; the
+        best checkpoint is already on disk.
+        """
+        cfg = self.cfg
+        path = getattr(cfg, "eval_log", "")
+        if path and self.primary:
+            rec = {"ts": time.time(), "workspace": self.workspace,
+                   "epoch": self.epoch, "step": int(global_step)}
+            rec.update({k: (float(v) if v is not None and np.ndim(v) == 0
+                            else v)
+                        for k, v in results.items()})
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            with open(path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if not int(getattr(cfg, "guard_collapse", 0)):
+            return False
+        metric = results.get("psnr_corrected", results.get("psnr"))
+        bad = False
+        if metric is not None and self.best_metric > -np.inf:
+            bad = metric <= self.best_metric - float(
+                getattr(cfg, "guard_psnr_drop", 2.0))
+        a = results.get("affine_a")
+        if a is not None and float(a) < float(
+                getattr(cfg, "guard_affine_a", 0.4)):
+            bad = True
+        self._guard_strikes = getattr(self, "_guard_strikes", 0)
+        self._guard_strikes = self._guard_strikes + 1 if bad else 0
+        if bad:
+            self.log(f"[guard] strike {self._guard_strikes}: "
+                     f"metric={metric} best={self.best_metric:.3f} "
+                     f"affine_a={a}")
+        return self._guard_strikes >= int(getattr(cfg, "guard_patience", 2))
 
     # ------------------------------------------------------------------ eval
 

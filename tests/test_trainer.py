@@ -239,3 +239,62 @@ def test_debug_nan_sentinel(tmp_path):
     with pytest.raises(FloatingPointError, match="non-finite loss"):
         tr.train(train_p, val_p, max_epoch=1)
     assert os.path.exists(os.path.join(tr.workspace, "nan_dump.json"))
+
+
+def test_divergence_guard_and_eval_log(tmp_path):
+    """Collapse telemetry (VERDICT r4): guard_patience consecutive evals
+    below best-guard_psnr_drop (or with affine a under guard_affine_a)
+    halt the run; every eval appends a JSON line to cfg.eval_log."""
+    import json
+    from enerf_tpu.config import Config
+    from enerf_tpu.train.trainer import Trainer
+
+    log = tmp_path / "evals.jsonl"
+    cfg = Config(
+        mode="synthetic", events=0, H=16, W=16, syn_frames=4,
+        iters=100, num_rays=64, num_steps=8, upsample_steps=0,
+        outdir=str(tmp_path), expname="guard", ckpt="scratch",
+        guard_collapse=1, guard_patience=2, guard_psnr_drop=2.0,
+        guard_affine_a=0.4, eval_log=str(log),
+    ).validate()
+    tr = Trainer(cfg, use_checkpoint="scratch")
+
+    # healthy eval: records best, no strike
+    assert tr._eval_log({"psnr_corrected": 15.0, "affine_a": 1.0}, 100) is False
+    tr.best_metric = 15.0
+    # one bad eval (drop > 2 dB): strike 1, not yet halted
+    assert tr._eval_log({"psnr_corrected": 12.5, "affine_a": 0.9}, 200) is False
+    # recovery resets the strike counter
+    assert tr._eval_log({"psnr_corrected": 14.5, "affine_a": 0.9}, 300) is False
+    # washout signature (affine a < 0.4) twice in a row: halt
+    assert tr._eval_log({"psnr_corrected": 14.9, "affine_a": 0.3}, 400) is False
+    assert tr._eval_log({"psnr_corrected": 14.9, "affine_a": 0.35}, 500) is True
+
+    lines = [json.loads(l) for l in log.read_text().splitlines()]
+    assert len(lines) == 5
+    assert lines[0]["psnr_corrected"] == 15.0
+    assert lines[-1]["step"] == 500
+    assert all("ts" in l and "workspace" in l for l in lines)
+
+
+def test_divergence_guard_halts_training(tmp_path):
+    """End-to-end: a train loop whose evals collapse stops early."""
+    from enerf_tpu.config import Config
+    from enerf_tpu.train.trainer import Trainer
+    from enerf_tpu.data.provider import make_providers
+
+    cfg = Config(
+        mode="synthetic", events=0, H=16, W=16, syn_frames=4,
+        iters=1000, num_rays=64, num_steps=8, upsample_steps=0,
+        outdir=str(tmp_path), expname="guardtrain", ckpt="scratch",
+        eval_interval=1, log_every=100, fuse_steps=1,
+        guard_collapse=1, guard_patience=2, guard_psnr_drop=0.0,
+    ).validate()
+    train_p, val_p = make_providers(cfg)
+    train_p.steps_per_epoch = 2
+    tr = Trainer(cfg, use_checkpoint="scratch")
+    # force the collapse signature: every eval scores far below a fake best
+    tr.best_metric = 1e9
+    tr.train(train_p, val_p, max_epoch=6)
+    # guard_patience=2 with drop 0 -> halted after the 2nd eval epoch
+    assert tr.epoch == 2, f"guard did not halt training (epoch={tr.epoch})"
