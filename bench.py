@@ -28,6 +28,19 @@ import jax
 # override main.py uses so CPU smoke-tests cannot touch a busy chip.
 if os.environ.get("ENERF_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["ENERF_PLATFORM"])
+try:
+    # Persistent compile cache: the march step's cold compile via the
+    # remote-compile tunnel takes >10 min (round-4 post-mortem) — far past
+    # any driver budget.  A warm cache (this dir, or the compile server's
+    # own) turns the driver's round-end bench into seconds of compile.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 import jax.numpy as jnp
 
 _FALLBACK_ANCHOR = 157_000.0
