@@ -140,8 +140,9 @@ def test_march_warmup_switches_renderer(tmp_path):
     train, val = make_providers(cfg, {})
     train.steps_per_epoch = 8
     trainer.train(train, None, max_epoch=1)
-    warm_keys = [k for k in trainer._chunk_cache if k[-1] is True]
-    march_keys = [k for k in trainer._chunk_cache if k[-1] is False]
+    # cache key = (mode, statics, chunk_len, mesh, warm, frozen)
+    warm_keys = [k for k in trainer._chunk_cache if k[-2] is True]
+    march_keys = [k for k in trainer._chunk_cache if k[-2] is False]
     assert warm_keys and march_keys, trainer._chunk_cache.keys()
     assert int(trainer.state.step) == 8
 
