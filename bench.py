@@ -138,6 +138,10 @@ def _watchdog_main():
             os.killpg(child.pid, signal.SIGKILL)
         except OSError:
             pass
+        tout.join(timeout=5)
+        # flush whatever the child DID measure before the deadline (e.g.
+        # the fixed128 line when the fixed512 compile blew the budget)
+        sys.stdout.write("".join(state["out"]))
         print(json.dumps({
             "metric": "rays_per_s_per_chip_fwd_bwd_1024steps",
             "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
@@ -190,6 +194,11 @@ def main(argv=None):
                          "and the path the quality flagship trains on; "
                          "prints one line per --fixed_steps value.")
     ap.add_argument("--fixed_steps", type=int, nargs="*", default=[128, 512])
+    ap.add_argument("--fixed_rays", type=int, nargs="*", default=None,
+                    help="per-entry ray-batch override for --fixed_steps "
+                         "(the 8192x512 program's compile alone exceeds "
+                         "any sane budget; 2048x512 measures the same "
+                         "per-sample throughput at 1M samples/render)")
     ap.add_argument("--n_rays", type=int, default=8192)
     ap.add_argument("--num_samples", type=int, default=32)
     ap.add_argument("--compact_frac", type=float, default=0.25)
@@ -220,7 +229,6 @@ def main(argv=None):
         # comparison; other step counts scale the anchor by samples/ray
         # (per-ray cost is linear in samples on both sides).
         from enerf_tpu.render.renderer import render_rays
-        n_rays = args.n_rays
         static = FieldStatic(
             bound=1.0, out_dim_color=1, encoding="blockgrid",
             compute_dtype=jnp.bfloat16, grid_block=4,
@@ -229,15 +237,18 @@ def main(argv=None):
         params = init_field_params(jax.random.PRNGKey(0), static)
         state, opt = init_train_state(params, lr0=1e-2, iters=10000)
         key = jax.random.PRNGKey(1)
-        d = jax.random.normal(key, (n_rays, 3))
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (n_rays, 1))
-        pols = jnp.ones((n_rays,), jnp.float32)
+        ray_counts = args.fixed_rays or [args.n_rays] * len(args.fixed_steps)
+        assert len(ray_counts) == len(args.fixed_steps)
 
-        for ns in args.fixed_steps:
+        for ns, n_rays in zip(args.fixed_steps, ray_counts):
             _phase(f"compile-fixed{ns}")
+            d = jax.random.normal(key, (n_rays, 3))
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (n_rays, 1))
+            pols = jnp.ones((n_rays,), jnp.float32)
 
-            def loss_fn(params, rng, _ns=ns):
+            def loss_fn(params, rng, _ns=ns, o=o, d=d, pols=pols,
+                        n_rays=n_rays):
                 k1, k2 = jax.random.split(rng)
                 bg = jnp.full((n_rays, 1), 0.5)
                 out1 = render_rays(params, static, o, d, num_steps=_ns,
