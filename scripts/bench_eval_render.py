@@ -36,6 +36,8 @@ def main(argv=None):
     ap.add_argument("--block", type=int, default=16,
                     help="alive-ray window size (samples per while-loop "
                          "iteration)")
+    ap.add_argument("--ckpt", default="best", choices=["best", "latest"],
+                    help="checkpoint to bench (best falls back to latest)")
     ap.add_argument("--build_occ", type=int, default=0,
                     help="build the occupancy grid from the trained field "
                          "with N update_occupancy passes — for checkpoints "
@@ -75,7 +77,10 @@ def main(argv=None):
     params0 = init_field_params(jax.random.PRNGKey(0), static)
     state, _ = init_train_state(params0, cfg["lr"], cfg["iters"])
     occ = init_occupancy(cfg["bound"])
-    path = ckpt.resolve("latest")
+    # best-by-metric first (guard-halted runs keep their peak there;
+    # benching an alive-ray win on a collapsed 'latest' field shows no
+    # early-termination — the round-3 misty-scene 1.03x mistake)
+    path = ckpt.resolve(getattr(args, "ckpt", "best"))
     assert path, f"no checkpoint under {args.workspace}"
     state, occ, meta = load_checkpoint(path, state, occ)
     params = state.ema_params
