@@ -220,3 +220,25 @@ def test_lpips_external_weights_roundtrip(tmp_path, monkeypatch):
     monkeypatch.delenv("ENERF_LPIPS_WEIGHTS")
     LJ._get_net.cache_clear()
     assert lpips_label() == "_rand"
+
+
+def test_bench_watchdog_emits_diagnostic_line():
+    """bench.py must ALWAYS print a parseable JSON line — on a budget
+    blowout (the BENCH_r04 rc=124 scenario) the watchdog kills the child
+    and emits value 0.0 with the last [bench-phase] reached."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"),
+         "--n_rays", "64", "--num_samples", "8"],
+        env={**os.environ, "ENERF_PLATFORM": "cpu",
+             "ENERF_BENCH_BUDGET": "4"},
+        capture_output=True, text=True, timeout=120)
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert lines, f"no stdout (stderr: {out.stderr[-300:]})"
+    d = json.loads(lines[-1])
+    assert d["value"] == 0.0 and "error" in d and "phase" in d["error"], d
+    assert out.returncode == 0
