@@ -57,8 +57,9 @@ if [ "$WHAT" = metrics ] || [ "$WHAT" = all ]; then
   echo "=== METRICS $SCENE$SUF ==="
   # reference side: RAW (uncorrected) final-epoch renders, corrected by the
   # SAME shared implementation as ours; gt pngs are epoch-independent
-  # reference leaf dir = <expname>_<config stem> (utils.py:393-398)
-  REF_WS=$OUT/ref/ab/$SCENE$SUF/ab_mini/${SCENE}${SUF}_${SCENE}_enerf${SUF}
+  # reference leaf dir = <expname>_<config stem> (utils.py:393-398) —
+  # expname differs between launch styles; glob the single leaf instead
+  REF_WS=$(ls -d "$OUT"/ref/ab/"$SCENE$SUF"/ab_mini/*_"${SCENE}"_enerf${SUF} 2>/dev/null | head -1)
   REF_LAST=$(ls "$REF_WS/validation/raw/" 2>/dev/null \
     | sed -E 's/.*_ep([0-9]+)_.*/\1/' | sort -n | tail -1)
   REF_GT_EP=$(ls "$REF_WS/validation/gt/" \
