@@ -21,6 +21,24 @@ if os.environ.get("ENERF_PLATFORM"):
     import jax
     jax.config.update("jax_platforms", os.environ["ENERF_PLATFORM"])
 
+try:
+    # Persistent compile cache for TRAINING runs, same rationale as
+    # bench.py: the march train-step's cold compile via the remote-compile
+    # tunnel runs 8-11 min, and a machine reset both wipes untracked files
+    # and can bounce the compile pool (rounds 4-5 post-mortems).  Default
+    # dir train_cache/ sits next to bench_cache/ and can be git-tracked so
+    # warmth survives resets; only compiles >=10 s are persisted to keep
+    # it to the handful of big step programs.
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "train_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
 
 def get_select_frames(cfg):
     """reference main_nerf.py:14-42."""
